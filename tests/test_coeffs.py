@@ -1,0 +1,87 @@
+"""Coefficient-table validation against externally published digits.
+
+Mirrors the role of pywt in the reference test suite
+(`/root/reference/pytorch_wavelets/tests/test_dwt.py:53-81`): these
+golden digits come from the PyWavelets documentation / Daubechies'
+tables, NOT from our own generator, so they independently pin the
+spectral-factorization construction.
+"""
+
+import numpy as np
+import pytest
+
+from ficsr_tpu.wavelets.coeffs import dwt_coeff_len, get_wavelet, qmf
+
+GOLDEN_DEC_LO = {
+    "haar": [0.7071067811865476, 0.7071067811865476],
+    "db2": [-0.12940952255092145, 0.22414386804185735,
+            0.8365163037378079, 0.48296291314469025],
+    "db3": [0.035226291882100656, -0.08544127388224149, -0.13501102001039084,
+            0.4598775021193313, 0.8068915093133388, 0.3326705529509569],
+    "db4": [-0.010597401784997278, 0.032883011666982945, 0.030841381835986965,
+            -0.18703481171888114, -0.02798376941698385, 0.6308807679295904,
+            0.7148465705525415, 0.23037781330885523],
+    "sym4": [-0.07576571478927333, -0.02963552764599851, 0.49761866763201545,
+             0.8037387518059161, 0.29785779560527736, -0.09921954357684722,
+             -0.012603967262037833, 0.0322231006040427],
+    "bior2.4": [0.0, 0.03314563036811942, -0.06629126073623884,
+                -0.1767766952966369, 0.4198446513295126, 0.9943689110435825,
+                0.4198446513295126, -0.1767766952966369,
+                -0.06629126073623884, 0.03314563036811942],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_DEC_LO))
+def test_dec_lo_matches_published(name):
+    w = get_wavelet(name)
+    np.testing.assert_allclose(w.dec_lo, GOLDEN_DEC_LO[name], atol=1e-10)
+
+
+@pytest.mark.parametrize("name", ["haar", "db2", "db4", "db8", "sym4", "sym6"])
+def test_orthogonal_filter_properties(name):
+    w = get_wavelet(name)
+    h = np.asarray(w.rec_lo)
+    # unit norm, sum sqrt(2)
+    assert abs(np.dot(h, h) - 1.0) < 1e-10
+    assert abs(h.sum() - np.sqrt(2)) < 1e-10
+    # double-shift orthogonality
+    L = len(h)
+    for k in range(2, L, 2):
+        assert abs(np.dot(h[:-k], h[k:])) < 1e-9
+    # QMF relation between lo and hi
+    np.testing.assert_allclose(w.rec_hi, qmf(h), atol=1e-12)
+
+
+@pytest.mark.parametrize("name", ["bior1.3", "bior2.2", "bior2.4", "bior4.4"])
+def test_biorthogonal_pr_condition(name):
+    """Perfect-reconstruction condition: sum_n g0[n] h0[n+2k] = delta[k]."""
+    w = get_wavelet(name)
+    dec_lo = np.asarray(w.dec_lo)
+    rec_lo = np.asarray(w.rec_lo)
+    dec_hi = np.asarray(w.dec_hi)
+    rec_hi = np.asarray(w.rec_hi)
+    # cross-correlation at even lags: lo*lo + hi*hi == 2*delta
+    full = np.correlate(rec_lo, dec_lo[::-1], "full") + \
+        np.correlate(rec_hi, dec_hi[::-1], "full")
+    mid = len(full) // 2
+    even = full[mid % 2::2] if mid % 2 == 0 else full[1::2]
+    center_idx = np.argmax(np.abs(even))
+    assert abs(even[center_idx] - 2.0) < 1e-10
+    others = np.delete(even, center_idx)
+    assert np.max(np.abs(others)) < 1e-10
+
+
+@pytest.mark.parametrize(
+    "n,l,mode,expect",
+    [
+        (256, 2, "reflect", 128),
+        (256, 2, "zero", 128),
+        (127, 2, "reflect", 64),
+        (127, 8, "zero", 67),
+        (100, 6, "symmetric", 52),
+        (101, 6, "periodization", 51),
+        (100, 6, "periodization", 50),
+    ],
+)
+def test_dwt_coeff_len(n, l, mode, expect):
+    assert dwt_coeff_len(n, l, mode) == expect
