@@ -1,0 +1,74 @@
+"""Import shims that let the read-only reference model.py run on CPU.
+
+The reference imports several packages absent from this image (tkinter,
+cv2, torchvision, skimage) — all either unused at runtime or only
+touched by code paths our parity tests never call.  These stubs satisfy
+the imports so that `ref_model.NetworkA2B` etc. can be instantiated and
+run on CPU torch as a golden reference.
+"""
+
+import importlib.util
+import sys
+import types
+
+from . import pywt_shim
+
+
+def _stub(name, **attrs):
+    if name in sys.modules:
+        return sys.modules[name]
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def install():
+    pywt_shim.install()
+
+    _stub("tkinter", NE="ne")
+    _stub("cv2", namedWindow=lambda *a, **k: None)
+
+    # torchvision: transforms/models touched only inside functions we
+    # don't call (eval transforms, VGG perceptual loss)
+    tv = _stub("torchvision")
+    tf = _stub(
+        "torchvision.transforms",
+        Compose=lambda x: x, ToTensor=object, Normalize=lambda *a, **k: None,
+        RandomCrop=lambda *a, **k: None, Resize=lambda *a, **k: None,
+        CenterCrop=lambda *a, **k: None,
+    )
+    models = _stub("torchvision.models", vgg19=lambda *a, **k: None)
+    tv.transforms = tf
+    tv.models = models
+
+    # skimage.metrics: backed by our own implementations
+    from ficsr_tpu.ops import metrics as m
+
+    sk = _stub("skimage")
+    skm = _stub(
+        "skimage.metrics",
+        peak_signal_noise_ratio=m.peak_signal_noise_ratio,
+        structural_similarity=m.structural_similarity,
+        mean_squared_error=m.mean_squared_error,
+        normalized_mutual_information=m.normalized_mutual_information,
+    )
+    sk.metrics = skm
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+
+def load_reference_module(name: str):
+    """Load /root/reference/<name>.py under the module name ref_<name>."""
+    install()
+    key = f"ref_{name}"
+    if key in sys.modules:
+        return sys.modules[key]
+    spec = importlib.util.spec_from_file_location(
+        key, f"/root/reference/{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[key] = mod
+    spec.loader.exec_module(mod)
+    return mod
