@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 256^2 OCTA SR inference images/sec/chip.
+
+Runs the flagship single-image SR path — FFT frequency split +
+NetworkA2B forward (the exact op measured by BASELINE.json's metric,
+reference call stack `utils.py:202-205`) — jitted on the default JAX
+device, across a small batch sweep, and reports the best
+images/sec/chip.
+
+vs_baseline compares against the reference PyTorch implementation on
+CPU (benchmarks/baseline_cpu.json, regenerate with
+`python benchmarks/torch_baseline.py`); the BASELINE.md target is
+>= 10x.
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def measure(batch: int, iters: int = 20, dtype=jnp.float32) -> float:
+    from ficsr_tpu.ops.freq import RADII_A, frequency_split
+    from ficsr_tpu.train.state import MODELS
+
+    model = MODELS["a2b"]
+    x = jnp.zeros((batch, 1, 256, 256), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+
+    @jax.jit
+    def infer(img):
+        lf, hf = frequency_split(img, *RADII_A)
+        out, _ = model.apply(
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+            lf.astype(dtype), hf.astype(dtype), train=False,
+            mutable=["batch_stats"])
+        return out[2]
+
+    img = jax.random.normal(jax.random.PRNGKey(1), x.shape, jnp.float32)
+    jax.block_until_ready(infer(img))  # compile
+    # timed
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(img)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    platform = jax.devices()[0].platform
+    batches = (1, 4, 16) if platform == "cpu" else (1, 8, 32, 64)
+    best = 0.0
+    best_b = 1
+    for b in batches:
+        try:
+            ips = measure(b, iters=5 if platform == "cpu" else 20)
+        except Exception:
+            break
+        if ips > best:
+            best, best_b = ips, b
+
+    baseline_path = os.path.join(
+        os.path.dirname(__file__), "benchmarks", "baseline_cpu.json")
+    vs = None
+    if os.path.isfile(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)["torch_cpu_images_per_sec"]
+        vs = best / ref
+
+    print(json.dumps({
+        "metric": "octa_sr_inference_256px",
+        "value": round(best, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "best_batch": best_b,
+        "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,10 @@ class FSDiscriminator(nn.Module):
     # (model.py:171-172) but FS_DiscriminatorB's (unused) 'sum' branch
     # returns HH (model.py:227-228)
     sum_band: str = "ll"
+    # PatchGAN depth; 5 is the reference value (model.py:89) and sets a
+    # 256^2 minimum image size (DWT halves + 5 stride-2 layers).
+    # Smaller values allow tiny-shape dry runs.
+    n_layers: int = 5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -83,9 +87,11 @@ class FSDiscriminator(nn.Module):
         else:
             raise NotImplementedError(f"Wavelet format [{cs}] not recognized")
 
-        spatial = PatchGAN(input_nc=1, name="net")(x, train)
+        spatial = PatchGAN(input_nc=1, n_layers=self.n_layers,
+                           name="net")(x, train)
         x_d = jnp.mean(spatial, axis=(2, 3))                # global avg pool
-        dwt_out = PatchGAN(input_nc=dwt_nc, name="net_dwt")(dwt_in, train)
+        dwt_out = PatchGAN(input_nc=dwt_nc, n_layers=self.n_layers,
+                           name="net_dwt")(dwt_in, train)
         dwt_d = jnp.mean(dwt_out, axis=(2, 3))
         return jnp.ravel(0.7 * x_d + 0.3 * dwt_d)           # model.py:164,217
 

@@ -1,0 +1,52 @@
+"""Device mesh + data-parallel sharding (SURVEY §5: the TPU-native
+communication layer; the reference has no distributed story at all).
+
+The model is small (G ~11M params, D ~2.8M) so parameters replicate and
+the batch shards over a 1-D 'data' mesh — pure DP over ICI covers every
+BASELINE config (config 5: batch 128 on v5e-16).  Gradients synchronize
+through the psum XLA inserts automatically when a jitted program
+consumes sharded inputs into replicated outputs; no hand-written
+collectives needed at this model scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "shard_train_step"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(mesh: Mesh, x, axis: str = "data"):
+    """Shard leading (batch) dimension across the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(x, sharding)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_train_step(train_step, mesh: Mesh, axis: str = "data"):
+    """Wrap a jitted train step with explicit DP shardings: state
+    replicated, batch sharded on dim 0, scalars replicated."""
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P(axis))
+
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, dp, dp, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )

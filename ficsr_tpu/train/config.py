@@ -1,0 +1,86 @@
+"""Typed training configuration + CLI (reference `train.py:33-55`).
+
+Flag names and defaults match the reference argparse surface for
+entrypoint-shape parity.  One deliberate fix: the reference declares
+boolean flags with ``type=bool``, so ``--pretrained False`` parses as
+True (SURVEY §2a #1); we parse booleans correctly and document the
+divergence here instead of reproducing the footgun.
+
+TPU-specific additions (not in the reference, all defaulted off/auto):
+``--bf16``, ``--remat``, ``--data_parallel``, ``--jit_compat``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+__all__ = ["TrainConfig", "parse_args", "str2bool"]
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if str(v).lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if str(v).lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    # --- reference flags (train.py:33-55), same names/defaults ---
+    epoch: int = 0                 # starting epoch
+    n_epochs: int = 50
+    batchSize: int = 1
+    dataroot: str = "./dataset/Colab_random_OCTA_augmented"
+    pretrained_root: str = "./pre_trained/netG_A2B_pretrained.pth"
+    pretrained: bool = False
+    B2A: bool = False              # also save netG_B2A
+    scheduler: bool = True         # True: linear decay; False: cosine
+    lr: float = 1.3e-4
+    decay_epoch: int = 10
+    sizeA: int = 128
+    sizeB: int = 256
+    input_nc: int = 1
+    output_nc: int = 1
+    cuda: bool = True              # kept for CLI parity; device = jax default
+    n_cpu: int = 2
+    beta1: float = 0.25            # BCE feature weight (B side)
+    beta2: float = 10.0            # identity L1
+    beta3: float = 2.0             # cycle L1
+    beta4: float = 0.5             # GAN A2B
+    beta5: float = 0.5             # GAN B2A
+    # --- TPU-native knobs ---
+    bf16: bool = False             # bfloat16 activations (BASELINE config 4)
+    remat: bool = False            # rematerialize generator blocks
+    d_layers: int = 5              # PatchGAN depth (reference: 5)
+    data_parallel: bool = True     # shard the batch over all devices
+    output_dir: str = "./output_exp"
+    sample_dir: str = "./checkpoint_exp"
+    eval_root: str = ""            # paired LR/HR eval set (ImageDataset6mm)
+    test_path: str = "./dataset/evalution_6mm/parts"
+    seed: int = 0
+    log_every: int = 50
+    replay_buffer_size: int = 50
+
+    @property
+    def size_a_up(self) -> int:
+        return self.sizeA * 2
+
+
+def parse_args(argv=None) -> TrainConfig:
+    p = argparse.ArgumentParser(
+        description="Frequency-aware inverse-consistent OCTA SR (TPU)")
+    defaults = TrainConfig()
+    for f in dataclasses.fields(TrainConfig):
+        default = getattr(defaults, f.name)
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            p.add_argument(f"--{f.name}", type=str2bool, default=default)
+        else:
+            p.add_argument(f"--{f.name}", type=type(default), default=default)
+    ns = p.parse_args(argv)
+    return TrainConfig(**vars(ns))

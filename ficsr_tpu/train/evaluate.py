@@ -1,0 +1,132 @@
+"""Evaluation loops (reference `utils.py:182-284`).
+
+  * `eval_numbered`  — the 297-file `{i}_6.png`/`{i}_3.png` loop
+    (utils.py:182-214)
+  * `eval_6m`        — paired ImageDataset6mm loop (utils.py:218-242)
+  * `eval_6m_baseline` — single-input baselines (utils.py:244-263)
+  * `train_eval`     — random-sample self-reconstruction check
+    (utils.py:270-284)
+
+Inference runs through one jitted `sr_infer` (frequency split + A2B
+forward, eval-mode BN); metrics are the skimage-compatible host
+implementations (PSNR data_range=2, SSIM, MSE, NMI — utils.py:209-212).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ficsr_tpu.data.datasets import ImageDataset6mm, load_grayscale
+from ficsr_tpu.data.pipeline import center_crop, normalize, to_unit
+from ficsr_tpu.ops import metrics as M
+from ficsr_tpu.ops.freq import RADII_A, frequency_split
+from ficsr_tpu.train.state import MODELS
+
+__all__ = ["make_sr_infer", "eval_numbered", "eval_6m", "eval_6m_baseline",
+           "train_eval", "score_pair"]
+
+
+def make_sr_infer(variables: dict, train_mode: bool = False) -> Callable:
+    """Jitted LR->SR inference: split real_A at A-radii, run NetworkA2B.
+
+    `variables` = {'params':..., 'batch_stats':...} for NetworkA2B.
+    Matches the reference eval recipe (utils.py:202-205): hf radius 10
+    averaged with the image, lf radius 8.
+    """
+    model = MODELS["a2b"]
+
+    @jax.jit
+    def infer(x):
+        lf, hf = frequency_split(x, *RADII_A)
+        out, _ = model.apply(
+            variables, lf, hf, train=train_mode, mutable=["batch_stats"])
+        return out[2]
+
+    return infer
+
+
+def score_pair(sr: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
+    return dict(
+        psnr=M.peak_signal_noise_ratio(sr, gt, data_range=2),
+        ssim=M.structural_similarity(sr, gt),
+        mse=M.mean_squared_error(sr, gt),
+        nmi=M.normalized_mutual_information(sr, gt),
+    )
+
+
+def _mean(scores) -> Dict[str, float]:
+    keys = scores[0].keys()
+    return {k: float(np.mean([s[k] for s in scores])) for k in keys}
+
+
+def eval_numbered(infer: Callable, lr_dir: str, hr_dir: str,
+                  count: int = 297, verbose: bool = True) -> Dict[str, float]:
+    """Reference `eval` (utils.py:182-214): files {i}_6.png / {i}_3.png."""
+    scores = []
+    for i in range(count):
+        lr_path = os.path.join(lr_dir, f"{i}_6.png")
+        hr_path = os.path.join(hr_dir, f"{i}_3.png")
+        if not (os.path.isfile(lr_path) and os.path.isfile(hr_path)):
+            continue
+        lr = normalize(to_unit(jnp.asarray(load_grayscale(lr_path))))
+        hr = normalize(to_unit(jnp.asarray(load_grayscale(hr_path))))
+        sr = infer(lr[None, None])
+        scores.append(score_pair(np.asarray(sr)[0, 0], np.asarray(hr)))
+    result = _mean(scores) if scores else {}
+    if verbose and result:
+        print(" PSNR: %.4f SSIM: %.4f MSE: %.4f NMI: %.4f" % (
+            result["psnr"], result["ssim"], result["mse"], result["nmi"]))
+    return result
+
+
+def eval_6m(infer: Callable, dataset: ImageDataset6mm,
+            crop: int = 256, verbose: bool = True) -> Dict[str, float]:
+    """Reference `eval_6m` (utils.py:218-242)."""
+    scores = []
+    for i in range(len(dataset)):
+        a_u8, b_u8 = dataset[i]
+        a = center_crop(normalize(to_unit(jnp.asarray(a_u8))), crop)
+        b = center_crop(normalize(to_unit(jnp.asarray(b_u8))), crop)
+        sr = infer(a[None, None])
+        scores.append(score_pair(np.asarray(sr)[0, 0], np.asarray(b)))
+    result = _mean(scores) if scores else {}
+    if verbose and result:
+        print(" PSNR: %.4f SSIM: %.4f MSE: %.4f NMI: %.4f" % (
+            result["psnr"], result["ssim"], result["mse"], result["nmi"]))
+    return result
+
+
+def eval_6m_baseline(single_input_infer: Callable, dataset: ImageDataset6mm,
+                     crop: int = 256) -> Dict[str, float]:
+    """Reference `eval_6m_baseline` (utils.py:244-263): for models taking
+    the raw LR image (no frequency split)."""
+    scores = []
+    for i in range(len(dataset)):
+        a_u8, b_u8 = dataset[i]
+        a = center_crop(normalize(to_unit(jnp.asarray(a_u8))), crop)
+        b = center_crop(normalize(to_unit(jnp.asarray(b_u8))), crop)
+        sr = single_input_infer(a[None, None])
+        scores.append(score_pair(np.asarray(sr)[0, 0], np.asarray(b)))
+    return _mean(scores) if scores else {}
+
+
+def train_eval(infer: Callable, dataset, rng: np.random.RandomState,
+               crop: int = 256) -> Dict[str, float]:
+    """Reference `train_eval` (utils.py:270-284): self-reconstruction on
+    one random training sample (PSNR/SSIM/MSE of SR vs its own input)."""
+    i = int(rng.randint(0, len(dataset)))
+    a_u8, _ = dataset[i]
+    a = center_crop(normalize(to_unit(jnp.asarray(a_u8))), crop)
+    sr = np.asarray(infer(a[None, None]))[0, 0]
+    a_np = np.asarray(a)
+    return dict(
+        psnr=M.peak_signal_noise_ratio(sr, a_np, data_range=2),
+        ssim=M.structural_similarity(sr, a_np),
+        mse=M.mean_squared_error(sr, a_np),
+    )

@@ -1,0 +1,144 @@
+"""The training driver (reference `train.py:164-307`).
+
+Epoch/batch loop around the single jitted train step: per-epoch LR
+schedule, per-epoch sample dump, checkpoint cadence, and eval — the
+same observable behavior as the reference, minus its host round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ficsr_tpu.data.datasets import ImageDataset, ImageDataset6mm
+from ficsr_tpu.data.pipeline import preprocess_train_a, preprocess_train_b
+from ficsr_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_train_step
+from ficsr_tpu.train import evaluate
+from ficsr_tpu.train.checkpoint import save_checkpoint
+from ficsr_tpu.train.config import TrainConfig
+from ficsr_tpu.train.schedule import cosine_annealing, lambda_linear_decay
+from ficsr_tpu.train.state import TrainState, create_train_state
+from ficsr_tpu.train.step import build_train_step
+
+__all__ = ["train", "save_sample"]
+
+
+def save_sample(sample_dir: str, epoch: int, array: np.ndarray,
+                suffix: str = "_real") -> None:
+    """Grayscale JPEG dump of batch-0 (reference save_sample,
+    utils.py:178-180)."""
+    os.makedirs(sample_dir, exist_ok=True)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    out = np.asarray(array).squeeze()
+    if out.ndim == 3:
+        out = out[0]
+    plt.imsave(os.path.join(
+        sample_dir, f"image_alt_{epoch + 1}{suffix}.jpeg"), out, cmap="gray")
+
+
+def _batch_iter(dataset: ImageDataset, batch: int, epoch: int):
+    """Yields stacked uint8 (B,H,W) arrays; drops the ragged tail."""
+    order = dataset.shuffled_indices(epoch)
+    for i in range(0, len(order) - batch + 1, batch):
+        idx = order[i:i + batch]
+        a_list, b_list = zip(*(dataset[int(j)] for j in idx))
+        yield np.stack(a_list), np.stack(b_list)
+
+
+def train(config: TrainConfig, state: Optional[TrainState] = None,
+          max_steps: Optional[int] = None) -> TrainState:
+    rng = jax.random.PRNGKey(config.seed)
+    rng, init_rng = jax.random.split(rng)
+    if state is None:
+        state = create_train_state(config, init_rng)
+
+    if config.data_parallel and jax.device_count() > 1 and \
+            config.batchSize % jax.device_count() == 0:
+        mesh = make_mesh()
+        step_fn = shard_train_step(build_train_step(config, jit=False), mesh)
+        state = replicate(mesh, state)
+        put = lambda x: shard_batch(mesh, x)  # noqa: E731
+    else:
+        step_fn = build_train_step(config)
+        put = lambda x: x  # noqa: E731
+
+    dataset = ImageDataset(config.dataroot, unaligned=True, seed=config.seed)
+    print(len(dataset))
+    test_dataset = None
+    if os.path.isdir(os.path.join(config.test_path, "LR")):
+        test_dataset = ImageDataset6mm(config.test_path)
+
+    np_rng = np.random.RandomState(config.seed)
+    total_steps = 0
+    for epoch in range(config.epoch, config.n_epochs):
+        if config.scheduler:
+            scale = lambda_linear_decay(
+                epoch, config.n_epochs, config.epoch, config.decay_epoch)
+        else:
+            scale = cosine_annealing(epoch, config.n_epochs)
+        lr = config.lr * scale
+
+        real_out = fake_out = None
+        t0, seen = time.time(), 0
+        for i, (a_u8, b_u8) in enumerate(
+                _batch_iter(dataset, config.batchSize, epoch)):
+            rng, ka, kb = jax.random.split(rng, 3)
+            real_a = put(preprocess_train_a(jnp.asarray(a_u8), config.sizeA, ka))
+            real_b = put(preprocess_train_b(jnp.asarray(b_u8), config.sizeB, kb))
+            state, metrics = step_fn(state, real_a, real_b, lr)
+            seen += config.batchSize
+            total_steps += 1
+
+            if i == 1:
+                real_out = np.asarray(real_a)
+                # sample through the updated generator (train.py:274-281)
+                infer = evaluate.make_sr_infer({
+                    "params": jax.device_get(state.g_params["a2b"]),
+                    "batch_stats": jax.device_get(state.g_stats["a2b"]),
+                })
+                fake_out = np.asarray(infer(real_a[:1]))
+            if config.log_every and i % config.log_every == 0:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                print(f"epoch {epoch} it {i} "
+                      + " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items())))
+            if max_steps is not None and total_steps >= max_steps:
+                break
+
+        if real_out is not None:
+            save_sample(config.sample_dir, epoch, real_out, "_input")
+            save_sample(config.sample_dir, epoch, fake_out, "_output")
+
+        dt = time.time() - t0
+        print("Epoch (%d/%d) Finished — %.2f img/s" % (
+            epoch + 1, config.n_epochs, seen / max(dt, 1e-9)))
+
+        # checkpoint cadence (train.py:290-300)
+        if config.pretrained:
+            due = (epoch < config.decay_epoch and epoch % 5 == 4) or \
+                (epoch >= config.decay_epoch)
+        else:
+            due = epoch % 3 == 2
+        if due:
+            save_checkpoint(config.output_dir, jax.device_get(state), epoch + 1)
+
+        if test_dataset is not None:
+            infer = evaluate.make_sr_infer({
+                "params": jax.device_get(state.g_params["a2b"]),
+                "batch_stats": jax.device_get(state.g_stats["a2b"]),
+            })
+            evaluate.eval_6m(infer, test_dataset)
+        print("------------------------------------------")
+
+        if max_steps is not None and total_steps >= max_steps:
+            break
+
+    return state

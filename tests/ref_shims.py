@@ -11,7 +11,10 @@ import importlib.util
 import sys
 import types
 
-from . import pywt_shim
+try:
+    from . import pywt_shim
+except ImportError:  # imported as a top-level module (benchmarks/)
+    import pywt_shim
 
 
 def _stub(name, **attrs):

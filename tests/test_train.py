@@ -1,0 +1,177 @@
+"""Training-engine tests: replay buffer semantics, schedules, the full
+jitted train step (fast 64^2 / 3-layer-D config), config CLI, and the
+data-parallel path on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ficsr_tpu.train.config import TrainConfig, parse_args
+from ficsr_tpu.train.replay import push_and_pop, replay_init
+from ficsr_tpu.train.schedule import cosine_annealing, lambda_linear_decay
+from ficsr_tpu.train.state import create_train_state
+from ficsr_tpu.train.step import build_train_step
+
+FAST = TrainConfig(batchSize=1, sizeA=32, sizeB=64, d_layers=3)
+
+
+@pytest.fixture(scope="module")
+def fast_state():
+    return create_train_state(FAST, jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def stepped(fast_state):
+    """One jitted train step executed once, reused by several tests."""
+    step = build_train_step(FAST, donate=False)
+    k = jax.random.PRNGKey(7)
+    ra = jax.random.normal(k, (1, 1, 64, 64), jnp.float32)
+    rb = jax.random.normal(jax.random.PRNGKey(8), (1, 1, 64, 64), jnp.float32)
+    new_state, metrics = step(fast_state, ra, rb, 1.3e-4)
+    return fast_state, new_state, metrics
+
+
+# --- replay buffer -----------------------------------------------------------
+
+
+def test_replay_fills_then_swaps():
+    buf = replay_init(4, (1, 2, 2))
+    rng = jax.random.PRNGKey(0)
+    batch = jnp.arange(3 * 4, dtype=jnp.float32).reshape(3, 1, 2, 2)
+    buf, out = push_and_pop(buf, batch, rng)
+    # while filling, returns exactly the input
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(batch))
+    assert int(buf.size) == 3
+    buf, out = push_and_pop(buf, batch + 100, jax.random.PRNGKey(1))
+    assert int(buf.size) == 4  # capped
+    # every returned element is either the incoming one or a stored one
+    stored_or_new = np.concatenate(
+        [np.asarray(batch).reshape(3, -1),
+         np.asarray(batch + 100).reshape(3, -1)])
+    for row in np.asarray(out).reshape(3, -1):
+        assert any(np.allclose(row, c) for c in stored_or_new)
+
+
+def test_replay_swap_probability():
+    """Once full, ~50% of pops should return a stored (older) element."""
+    buf = replay_init(50, (1,))
+    fill = jnp.zeros((50, 1), jnp.float32)
+    buf, _ = push_and_pop(buf, fill, jax.random.PRNGKey(0))
+    # distinct incoming values: out[i] != incoming[i] <=> swap happened
+    incoming = jnp.arange(1, 401, dtype=jnp.float32).reshape(400, 1)
+    _, out = push_and_pop(buf, incoming, jax.random.PRNGKey(1))
+    frac_swap = float(np.mean(np.asarray(out) != np.asarray(incoming)))
+    assert 0.4 < frac_swap < 0.6
+
+
+# --- schedules ---------------------------------------------------------------
+
+
+def test_linear_decay_schedule():
+    # reference semantics: flat until decay_epoch, linear to 0 at n_epochs
+    assert lambda_linear_decay(0, 50, 0, 10) == 1.0
+    assert lambda_linear_decay(10, 50, 0, 10) == 1.0
+    assert abs(lambda_linear_decay(30, 50, 0, 10) - 0.5) < 1e-12
+    assert lambda_linear_decay(50, 50, 0, 10) == 0.0
+
+
+def test_cosine_schedule():
+    assert abs(cosine_annealing(0, 50) - 1.0) < 1e-12
+    assert abs(cosine_annealing(25, 50) - 0.5) < 1e-12
+    assert cosine_annealing(50, 50) < 1e-12
+
+
+# --- config CLI --------------------------------------------------------------
+
+
+def test_parse_args_reference_flags():
+    cfg = parse_args([
+        "--n_epochs", "55", "--lr", "2e-4", "--decay_epoch", "30",
+        "--pretrained", "False", "--scheduler", "False",
+    ])
+    assert cfg.n_epochs == 55 and cfg.lr == 2e-4 and cfg.decay_epoch == 30
+    # the reference's type=bool bug would make these True; we parse properly
+    assert cfg.pretrained is False
+    assert cfg.scheduler is False
+    assert cfg.beta2 == 10.0 and cfg.batchSize == 1
+
+
+# --- train step --------------------------------------------------------------
+
+
+def test_step_losses_finite(stepped):
+    _, _, metrics = stepped
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_step_updates_everything(stepped):
+    old, new, _ = stepped
+    # generator and discriminator params moved
+    for tree_old, tree_new in ((old.g_params, new.g_params),
+                               (old.d_params, new.d_params)):
+        leaves_old = jax.tree.leaves(tree_old)
+        leaves_new = jax.tree.leaves(tree_new)
+        changed = sum(
+            float(jnp.max(jnp.abs(a - b))) > 0
+            for a, b in zip(leaves_old, leaves_new))
+        assert changed > len(leaves_old) * 0.9
+    # BN stats advanced
+    sa_old = jax.tree.leaves(old.g_stats)
+    sa_new = jax.tree.leaves(new.g_stats)
+    assert any(float(jnp.max(jnp.abs(a - b))) > 0
+               for a, b in zip(sa_old, sa_new))
+    # replay buffers saw one fake each
+    assert int(new.buf_a.size) == 1 and int(new.buf_b.size) == 1
+    assert int(new.step) == 1
+
+
+def test_step_deterministic(fast_state):
+    step = build_train_step(FAST, donate=False)
+    ra = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 64, 64))
+    rb = jax.random.normal(jax.random.PRNGKey(8), (1, 1, 64, 64))
+    _, m1 = step(fast_state, ra, rb, 1e-4)
+    _, m2 = step(fast_state, ra, rb, 1e-4)
+    assert float(m1["loss_G"]) == float(m2["loss_G"])
+
+
+def test_lr_zero_freezes_params(fast_state):
+    """AdamW with lr=0 must leave parameters untouched (validates the
+    injected-hyperparam plumbing)."""
+    step = build_train_step(FAST, donate=False)
+    ra = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 64, 64))
+    rb = jax.random.normal(jax.random.PRNGKey(8), (1, 1, 64, 64))
+    new_state, _ = step(fast_state, ra, rb, 0.0)
+    for a, b in zip(jax.tree.leaves(fast_state.g_params),
+                    jax.tree.leaves(new_state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_step_compiles():
+    cfg = TrainConfig(batchSize=1, sizeA=32, sizeB=64, d_layers=3, bf16=True)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = build_train_step(cfg, donate=False)
+    ra = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 64, 64))
+    rb = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 64, 64))
+    _, metrics = step(state, ra, rb, 1e-4)
+    assert np.isfinite(float(metrics["loss_G"]))
+
+
+def test_data_parallel_step_on_mesh():
+    """Full DP train step over the 8-device CPU mesh (BASELINE config 5
+    shape, tiny sizes)."""
+    from ficsr_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_batch, shard_train_step)
+
+    cfg = TrainConfig(batchSize=8, sizeA=32, sizeB=64, d_layers=3)
+    mesh = make_mesh(8)
+    state = replicate(mesh, create_train_state(cfg, jax.random.PRNGKey(0)))
+    step = shard_train_step(build_train_step(cfg, jit=False), mesh)
+    ra = shard_batch(mesh, jax.random.normal(
+        jax.random.PRNGKey(1), (8, 1, 64, 64)))
+    rb = shard_batch(mesh, jax.random.normal(
+        jax.random.PRNGKey(2), (8, 1, 64, 64)))
+    state, metrics = step(state, ra, rb, 1e-4)
+    assert np.isfinite(float(metrics["loss_G"]))
+    assert int(state.buf_a.size) == 8
