@@ -20,7 +20,14 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
+
+# persistent compilation cache: TPU compiles through the axon tunnel
+# take minutes; cached executables dispatch in <1 ms
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
 
 
 def measure(batch: int, iters: int = 20, dtype=jnp.float32) -> float:
@@ -54,12 +61,15 @@ def measure(batch: int, iters: int = 20, dtype=jnp.float32) -> float:
 
 def main():
     platform = jax.devices()[0].platform
-    batches = (1, 4, 16) if platform == "cpu" else (1, 8, 32, 64)
+    # one compile only: TPU compiles through the axon tunnel cost ~90 s
+    # each and the persistent cache misses across sessions.  batch 32
+    # was the measured throughput sweet spot (see benchmarks/README.md).
+    batches = (4,) if platform == "cpu" else (32,)
     best = 0.0
     best_b = 1
     for b in batches:
         try:
-            ips = measure(b, iters=5 if platform == "cpu" else 20)
+            ips = measure(b, iters=5 if platform == "cpu" else 50)
         except Exception:
             break
         if ips > best:

@@ -1,0 +1,95 @@
+"""Wavelet-transform microbenchmarks (mirrors the reference profiling
+kit: `pytorch_wavelets/tests/profile.py` — axes: transform, J, batch,
+size, fwd/inv/grad — with jax.profiler traces instead of nvprof).
+
+Usage:
+  python benchmarks/profile_transforms.py dwt --j 3 --size 256 --batch 10
+  python benchmarks/profile_transforms.py swt --grad
+  python benchmarks/profile_transforms.py all            # summary table
+  ... add --trace DIR to capture a jax.profiler trace for xprof.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def _time(fn, x, iters=20):
+    r = fn(x)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(x)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def bench_one(kind: str, j: int, size: int, batch: int, wave: str,
+              mode: str, grad: bool, iters: int):
+    from ficsr_tpu.wavelets import wavedec2, waverec2
+    from ficsr_tpu.wavelets.swt import iswt2, swt2
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 1, size, size))
+    if kind == "dwt":
+        fwd = jax.jit(lambda v: wavedec2(v, wave, mode, j))
+        coeffs = fwd(x)
+        inv = jax.jit(lambda c: waverec2(c, wave, mode))
+        loss = jax.jit(jax.grad(
+            lambda v: sum(jnp.sum(t ** 2) for t in
+                          jax.tree.leaves(wavedec2(v, wave, mode, j)))))
+    elif kind == "swt":
+        fwd = jax.jit(lambda v: swt2(v, wave, j))
+        coeffs = fwd(x)
+        inv = jax.jit(lambda c: iswt2(c, wave))
+        loss = jax.jit(jax.grad(
+            lambda v: sum(jnp.sum(t ** 2) for t in swt2(v, wave, j))))
+    else:
+        raise ValueError(kind)
+
+    rows = [("fwd", _time(fwd, x, iters)), ("inv", _time(inv, coeffs, iters))]
+    if grad:
+        rows.append(("grad", _time(loss, x, iters)))
+    for name, ms in rows:
+        print(f"{kind} {wave} J={j} {batch}x1x{size}x{size} "
+              f"{name}: {ms:8.3f} ms")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("kind", choices=["dwt", "swt", "all"])
+    p.add_argument("--j", type=int, default=1)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--batch", type=int, default=10)
+    p.add_argument("--wave", default="db4")
+    p.add_argument("--mode", default="reflect")
+    p.add_argument("--grad", action="store_true")
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--trace", default="")
+    args = p.parse_args()
+
+    def run():
+        if args.kind == "all":
+            for kind in ("dwt", "swt"):
+                for j in (1, 2):
+                    bench_one(kind, j, args.size, args.batch, args.wave,
+                              args.mode, args.grad, args.iters)
+        else:
+            bench_one(args.kind, args.j, args.size, args.batch, args.wave,
+                      args.mode, args.grad, args.iters)
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            run()
+        print(f"trace written to {args.trace}")
+    else:
+        run()
+
+
+if __name__ == "__main__":
+    main()

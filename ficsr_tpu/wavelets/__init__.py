@@ -27,6 +27,7 @@ from ficsr_tpu.wavelets.transform1d import (
     wavedec1,
     waverec1,
 )
+from ficsr_tpu.wavelets.swt import SWTForward, SWTInverse, iswt2, swt2
 
 # aliases mirroring pytorch_wavelets' public API
 # (`pytorch_wavelets/pytorch_wavelets/__init__.py:1-36`)
@@ -41,5 +42,6 @@ __all__ = [
     "Wavelet", "get_wavelet", "wavelist", "dwt_coeff_len",
     "DWTForward", "DWTInverse", "dwt2", "idwt2", "wavedec2", "waverec2",
     "DWT1DForward", "DWT1DInverse", "dwt1", "idwt1", "wavedec1", "waverec1",
+    "SWTForward", "SWTInverse", "swt2", "iswt2",
     "DWT", "IDWT", "DWT2D", "IDWT2D", "DWT1D", "IDWT1D",
 ]
