@@ -28,6 +28,8 @@ from ficsr_tpu.wavelets.transform1d import (
     waverec1,
 )
 from ficsr_tpu.wavelets.swt import SWTForward, SWTInverse, iswt2, swt2
+from ficsr_tpu.wavelets.dtcwt import DTCWTForward, DTCWTInverse
+from ficsr_tpu.wavelets.scatternet import ScatLayer, ScatLayerj2
 
 # aliases mirroring pytorch_wavelets' public API
 # (`pytorch_wavelets/pytorch_wavelets/__init__.py:1-36`)
@@ -43,5 +45,6 @@ __all__ = [
     "DWTForward", "DWTInverse", "dwt2", "idwt2", "wavedec2", "waverec2",
     "DWT1DForward", "DWT1DInverse", "dwt1", "idwt1", "wavedec1", "waverec1",
     "SWTForward", "SWTInverse", "swt2", "iswt2",
+    "DTCWTForward", "DTCWTInverse", "ScatLayer", "ScatLayerj2",
     "DWT", "IDWT", "DWT2D", "IDWT2D", "DWT1D", "IDWT1D",
 ]

@@ -130,6 +130,43 @@ def inv_j1(ll, highr, highi, g0, g1, o_dim, h_dim, w_dim, mode):
     return rowfilter(hi, g1, mode) + rowfilter(lo, g0, mode)
 
 
+def fwd_j1_rot(x, h0, h1, h2, skip_hps, o_dim, mode):
+    """Rotationally-symmetric level 1 (reference transform_funcs.py:124-149):
+    the diagonal band uses the h2 bandpass filter on both axes."""
+    if not skip_hps:
+        lo = rowfilter(x, h0, mode)
+        hi = rowfilter(x, h1, mode)
+        ba = rowfilter(x, h2, mode)
+        lh = colfilter(lo, h1, mode)
+        hl = colfilter(hi, h0, mode)
+        hh = colfilter(ba, h2, mode)
+        ll = colfilter(lo, h0, mode)
+        highr, highi = highs_to_orientations(lh, hl, hh, o_dim)
+    else:
+        ll = colfilter(rowfilter(x, h0, mode), h0, mode)
+        highr = highi = None
+    return ll, highr, highi
+
+
+def fwd_j2plus_rot(x, h0a, h1a, h0b, h1b, h2a, h2b, skip_hps, o_dim,
+                   mode="symmetric"):
+    """(reference transform_funcs.py:252-276)"""
+    if not skip_hps:
+        lo = rowdfilt(x, h0b, h0a, False, mode)
+        hi = rowdfilt(x, h1b, h1a, True, mode)
+        ba = rowdfilt(x, h2b, h2a, True, mode)
+        lh = coldfilt(lo, h1b, h1a, True, mode)
+        hl = coldfilt(hi, h0b, h0a, False, mode)
+        hh = coldfilt(ba, h2b, h2a, True, mode)
+        ll = coldfilt(lo, h0b, h0a, False, mode)
+        highr, highi = highs_to_orientations(lh, hl, hh, o_dim)
+    else:
+        ll = rowdfilt(x, h0b, h0a, False, mode)
+        ll = coldfilt(ll, h0b, h0a, False, mode)
+        highr = highi = None
+    return ll, highr, highi
+
+
 def fwd_j2plus(x, h0a, h1a, h0b, h1b, skip_hps, o_dim, mode="symmetric"):
     """(reference transform_funcs.py:226-249; mode is always symmetric)"""
     if not skip_hps:
