@@ -1,0 +1,105 @@
+"""VGG19 perceptual loss (reference `model.py:61-83`).
+
+The reference builds torchvision's pretrained VGG19 up to features[14]
+(= conv3_3, pre-activation) and compares fake/real feature maps with a
+caller-supplied criterion; the call is commented out of the active loss
+(train.py:233) but the component is part of the capability surface.
+
+This image has no torchvision (and zero egress), so pretrained weights
+cannot be fetched here.  `VGG19Features` is the exact conv3_3-prefix
+architecture with a converter for a torchvision `vgg19().features`
+state_dict (`load_torchvision_features`); random init otherwise —
+callers gate on `pretrained_path`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ficsr_tpu.models.layers import Conv2d
+from ficsr_tpu.models.losses import mse_loss
+
+__all__ = ["VGG19Features", "PerceptualLoss", "load_torchvision_features"]
+
+# conv layers up to torchvision features[14] (conv3_3):
+# (torchvision index, in_ch, out_ch, maxpool-before?)
+_CONV_PLAN = [
+    (0, 3, 64, False),
+    (2, 64, 64, False),
+    (5, 64, 128, True),
+    (7, 128, 128, False),
+    (10, 128, 256, True),
+    (12, 256, 256, False),
+    (14, 256, 256, False),   # conv3_3 — output, NO relu after (model.py:70-71)
+]
+
+
+def _maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    n, c, h, w = x.shape
+    v = x.reshape(n, c, h // 2, 2, w // 2, 2)
+    return v.max(axis=(3, 5))
+
+
+class VGG19Features(nn.Module):
+    """VGG19 prefix through conv3_3 on NCHW inputs (3 channels)."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = x
+        for i, (idx, cin, cout, pool) in enumerate(_CONV_PLAN):
+            if pool:
+                h = _maxpool2(h)
+            if i > 0:
+                h = nn.relu(h)
+            h = Conv2d(cin, cout, 3, 1, 1, use_bias=True,
+                       name=f"conv{idx}")(h)
+        return h
+
+
+def load_torchvision_features(state_dict: Mapping[str, object]) -> dict:
+    """torchvision `vgg19().features.state_dict()` -> flax variables."""
+    params = {}
+    for idx, _, _, _ in _CONV_PLAN:
+        w = state_dict[f"{idx}.weight"]
+        b = state_dict[f"{idx}.bias"]
+        if hasattr(w, "detach"):
+            w, b = w.detach().cpu().numpy(), b.detach().cpu().numpy()
+        params[f"conv{idx}"] = {
+            "weight": np.asarray(w, np.float32),
+            "bias": np.asarray(b, np.float32),
+        }
+    return {"params": params}
+
+
+class PerceptualLoss:
+    """Feature-space criterion (reference PerceptualLoss, model.py:61-83).
+
+    get_loss(fake, real): criterion(features(fake), stop_grad(features(real)))
+    Inputs are 3-channel NCHW (the reference repeats grayscale x3).
+    """
+
+    def __init__(self, criterion: Callable = mse_loss,
+                 variables: Optional[dict] = None,
+                 rng: Optional[jax.Array] = None):
+        self.criterion = criterion
+        self.model = VGG19Features()
+        if variables is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            variables = self.model.init(
+                rng, jnp.zeros((1, 3, 32, 32), jnp.float32))
+        self.variables = variables
+
+    def features(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.shape[1] == 1:
+            x = jnp.tile(x, (1, 3, 1, 1))  # train.py:233 .repeat(1,3,1,1)
+        return self.model.apply(self.variables, x)
+
+    def get_loss(self, fake: jnp.ndarray, real: jnp.ndarray) -> jnp.ndarray:
+        f_fake = self.features(fake)
+        f_real = jax.lax.stop_gradient(self.features(real))
+        return self.criterion(f_fake, f_real)
