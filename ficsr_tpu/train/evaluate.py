@@ -32,23 +32,25 @@ __all__ = ["make_sr_infer", "eval_numbered", "eval_6m", "eval_6m_baseline",
            "train_eval", "score_pair"]
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _sr_infer(variables, x, train_mode):
+    lf, hf = frequency_split(x, *RADII_A)
+    out, _ = MODELS["a2b"].apply(
+        variables, lf, hf, train=train_mode, mutable=["batch_stats"])
+    return out[2]
+
+
 def make_sr_infer(variables: dict, train_mode: bool = False) -> Callable:
     """Jitted LR->SR inference: split real_A at A-radii, run NetworkA2B.
 
     `variables` = {'params':..., 'batch_stats':...} for NetworkA2B.
     Matches the reference eval recipe (utils.py:202-205): hf radius 10
-    averaged with the image, lf radius 8.
+    averaged with the image, lf radius 8.  Params enter as jit
+    *arguments*, so fresh weights (per-epoch sample dumps, eval after
+    updates) reuse the compiled program instead of re-jitting a new
+    closure — compiles cost minutes on the tunneled TPU.
     """
-    model = MODELS["a2b"]
-
-    @jax.jit
-    def infer(x):
-        lf, hf = frequency_split(x, *RADII_A)
-        out, _ = model.apply(
-            variables, lf, hf, train=train_mode, mutable=["batch_stats"])
-        return out[2]
-
-    return infer
+    return lambda x: _sr_infer(variables, x, train_mode)
 
 
 def score_pair(sr: np.ndarray, gt: np.ndarray) -> Dict[str, float]:

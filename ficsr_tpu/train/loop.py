@@ -56,6 +56,13 @@ def _batch_iter(dataset: ImageDataset, batch: int, epoch: int):
 
 def train(config: TrainConfig, state: Optional[TrainState] = None,
           max_steps: Optional[int] = None) -> TrainState:
+    # validate data before any (minutes-long) device compilation
+    dataset = ImageDataset(config.dataroot, unaligned=True, seed=config.seed)
+    print(len(dataset))
+    test_dataset = None
+    if os.path.isdir(os.path.join(config.test_path, "LR")):
+        test_dataset = ImageDataset6mm(config.test_path)
+
     rng = jax.random.PRNGKey(config.seed)
     rng, init_rng = jax.random.split(rng)
     if state is None:
@@ -70,12 +77,6 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
     else:
         step_fn = build_train_step(config)
         put = lambda x: x  # noqa: E731
-
-    dataset = ImageDataset(config.dataroot, unaligned=True, seed=config.seed)
-    print(len(dataset))
-    test_dataset = None
-    if os.path.isdir(os.path.join(config.test_path, "LR")):
-        test_dataset = ImageDataset6mm(config.test_path)
 
     np_rng = np.random.RandomState(config.seed)
     total_steps = 0
@@ -102,8 +103,8 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
                 real_out = np.asarray(real_a)
                 # sample through the updated generator (train.py:274-281)
                 infer = evaluate.make_sr_infer({
-                    "params": jax.device_get(state.g_params["a2b"]),
-                    "batch_stats": jax.device_get(state.g_stats["a2b"]),
+                    "params": state.g_params["a2b"],
+                    "batch_stats": state.g_stats["a2b"],
                 })
                 fake_out = np.asarray(infer(real_a[:1]))
             if config.log_every and i % config.log_every == 0:
@@ -132,8 +133,8 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
 
         if test_dataset is not None:
             infer = evaluate.make_sr_infer({
-                "params": jax.device_get(state.g_params["a2b"]),
-                "batch_stats": jax.device_get(state.g_stats["a2b"]),
+                "params": state.g_params["a2b"],
+                "batch_stats": state.g_stats["a2b"],
             })
             evaluate.eval_6m(infer, test_dataset)
         print("------------------------------------------")

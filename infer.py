@@ -33,6 +33,11 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     args = p.parse_args()
 
+    if not os.path.exists(args.ckpt):
+        sys.exit(f"error: checkpoint not found: {args.ckpt}")
+    if not os.path.exists(args.input):
+        sys.exit(f"error: input not found: {args.input}")
+
     import jax
     import jax.numpy as jnp
 
