@@ -45,13 +45,13 @@ def save_sample(sample_dir: str, epoch: int, array: np.ndarray,
         sample_dir, f"image_alt_{epoch + 1}{suffix}.jpeg"), out, cmap="gray")
 
 
-def _batch_iter(dataset: ImageDataset, batch: int, epoch: int):
-    """Yields stacked uint8 (B,H,W) arrays; drops the ragged tail."""
-    order = dataset.shuffled_indices(epoch)
-    for i in range(0, len(order) - batch + 1, batch):
-        idx = order[i:i + batch]
-        a_list, b_list = zip(*(dataset[int(j)] for j in idx))
-        yield np.stack(a_list), np.stack(b_list)
+def _batch_iter(dataset: ImageDataset, batch: int, epoch: int,
+                num_workers: int = 2):
+    """Prefetched stacked uint8 (B,H,W) batches; drops the ragged tail."""
+    from ficsr_tpu.data.prefetch import prefetch_batches
+
+    yield from prefetch_batches(dataset, batch, epoch,
+                                num_workers=num_workers)
 
 
 def train(config: TrainConfig, state: Optional[TrainState] = None,
@@ -91,7 +91,8 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
         real_out = fake_out = None
         t0, seen = time.time(), 0
         for i, (a_u8, b_u8) in enumerate(
-                _batch_iter(dataset, config.batchSize, epoch)):
+                _batch_iter(dataset, config.batchSize, epoch,
+                            num_workers=config.n_cpu)):
             rng, ka, kb = jax.random.split(rng, 3)
             real_a = put(preprocess_train_a(jnp.asarray(a_u8), config.sizeA, ka))
             real_b = put(preprocess_train_b(jnp.asarray(b_u8), config.sizeB, kb))

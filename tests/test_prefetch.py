@@ -1,0 +1,41 @@
+"""Prefetching data loader."""
+
+import numpy as np
+import pytest
+
+from ficsr_tpu.data.prefetch import prefetch_batches
+
+
+class _FakeDataset:
+    def __init__(self, n=10, fail_at=None):
+        self.n = n
+        self.fail_at = fail_at
+
+    def __len__(self):
+        return self.n
+
+    def shuffled_indices(self, epoch):
+        return np.arange(self.n)
+
+    def __getitem__(self, i):
+        if self.fail_at is not None and i == self.fail_at:
+            raise RuntimeError("decode boom")
+        return (np.full((4, 4), i, np.uint8), np.full((4, 4), i + 100, np.uint8))
+
+
+def test_prefetch_yields_all_batches():
+    ds = _FakeDataset(10)
+    batches = list(prefetch_batches(ds, 3, epoch=0, num_workers=2))
+    assert len(batches) == 3  # ragged tail dropped
+    a, b = batches[0]
+    assert a.shape == (3, 4, 4) and b.shape == (3, 4, 4)
+    np.testing.assert_array_equal(a[:, 0, 0], [0, 1, 2])
+    np.testing.assert_array_equal(b[:, 0, 0], [100, 101, 102])
+
+
+def test_prefetch_propagates_loader_errors():
+    ds = _FakeDataset(6, fail_at=4)
+    it = prefetch_batches(ds, 3, epoch=0, num_workers=2)
+    next(it)  # first batch fine
+    with pytest.raises(RuntimeError, match="decode boom"):
+        list(it)
