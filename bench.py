@@ -31,6 +31,14 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def measure(batch: int, iters: int = 20, dtype=jnp.float32) -> float:
+    """Throughput with HONEST device sync.
+
+    On the axon runtime `jax.block_until_ready` does not wait for
+    execution (verified: an 8k^3 matmul 'completed' in 0.02 ms; with a
+    host transfer it takes 7.2 ms = 152 TFLOP/s).  Every iteration's
+    output therefore feeds a device-side accumulator whose final value
+    is pulled to the host — one transfer that forces the whole chain.
+    """
     from ficsr_tpu.ops.freq import RADII_A, frequency_split
     from ficsr_tpu.train.state import MODELS
 
@@ -39,22 +47,25 @@ def measure(batch: int, iters: int = 20, dtype=jnp.float32) -> float:
     variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
 
     @jax.jit
-    def infer(img):
+    def infer(img, acc):
         lf, hf = frequency_split(img, *RADII_A)
         out, _ = model.apply(
             {"params": variables["params"],
              "batch_stats": variables["batch_stats"]},
             lf.astype(dtype), hf.astype(dtype), train=False,
             mutable=["batch_stats"])
-        return out[2]
+        sr = out[2]
+        # accumulator depends on the output AND feeds the next call
+        return sr, acc + jnp.mean(sr.astype(jnp.float32))
 
     img = jax.random.normal(jax.random.PRNGKey(1), x.shape, jnp.float32)
-    jax.block_until_ready(infer(img))  # compile
-    # timed
+    acc = jnp.zeros((), jnp.float32)
+    _, acc_w = infer(img, acc)
+    float(acc_w)  # compile + sync
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = infer(img)
-    jax.block_until_ready(out)
+        _, acc = infer(img, acc)
+    float(acc)  # host transfer forces the full chain
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

@@ -56,10 +56,11 @@ class TrainConfig:
     beta5: float = 0.5             # GAN B2A
     # --- TPU-native knobs ---
     bf16: bool = False             # bfloat16 activations (BASELINE config 4)
-    # rematerialize generator forwards: measured on v5e this turns the
-    # batch-16 HBM-pressure cliff (466 ms/step) into 4.6 ms/step while
-    # being ~free at batch 1 — default ON (benchmarks/README.md)
-    remat: bool = True
+    # rematerialize generator forwards: with honest host-sync timing
+    # remat measures SLOWER on v5e (b16-bf16: 581 vs 465 ms/step; b1:
+    # 6.6 vs 5.8 relative) — default OFF; flip on only if a config
+    # OOMs (benchmarks/README.md)
+    remat: bool = False
     d_layers: int = 5              # PatchGAN depth (reference: 5)
     data_parallel: bool = True     # shard the batch over all devices
     output_dir: str = "./output_exp"

@@ -33,7 +33,7 @@ from ficsr_tpu.train.config import TrainConfig
 from ficsr_tpu.train.replay import push_and_pop
 from ficsr_tpu.train.state import MODELS, TrainState, make_optimizer, models_for
 
-__all__ = ["build_train_step", "generator_forward"]
+__all__ = ["build_train_step", "build_loss_fns", "generator_forward"]
 
 
 def _apply(model, params, stats, *args, train: bool = True):
@@ -98,15 +98,9 @@ def generator_forward(g_params, g_stats, real_a, real_b, *, train=True,
     )
 
 
-def build_train_step(config: TrainConfig, jit: bool = True,
-                     donate: bool = True):
-    """Returns train_step(state, real_a, real_b, lr) -> (state, metrics).
-
-    With jit=False the raw python function is returned so a caller can
-    apply its own jit with explicit shardings (parallel/mesh.py).
-    donate=False keeps the input state alive (tests, interactive use).
-    """
-    tx = make_optimizer()
+def build_loss_fns(config: TrainConfig):
+    """(g_loss_fn, d_loss_fn) for the given config — the exact loss
+    surfaces the train step differentiates (exposed for parity tests)."""
     models = models_for(config.d_layers)
     da, db = models["da"], models["db"]
     dtype = jnp.bfloat16 if config.bf16 else jnp.float32
@@ -178,6 +172,20 @@ def build_train_step(config: TrainConfig, jit: bool = True,
             metrics=dict(loss_D_A=loss_d_a, loss_D_B=loss_d_b),
         )
         return loss_d_a + loss_d_b, aux
+
+    return g_loss_fn, d_loss_fn
+
+
+def build_train_step(config: TrainConfig, jit: bool = True,
+                     donate: bool = True):
+    """Returns train_step(state, real_a, real_b, lr) -> (state, metrics).
+
+    With jit=False the raw python function is returned so a caller can
+    apply its own jit with explicit shardings (parallel/mesh.py).
+    donate=False keeps the input state alive (tests, interactive use).
+    """
+    tx = make_optimizer()
+    g_loss_fn, d_loss_fn = build_loss_fns(config)
 
     def train_step(state: TrainState, real_a, real_b, lr
                    ) -> Tuple[TrainState, Dict[str, Any]]:

@@ -21,13 +21,12 @@ on an otherwise idle MXU, keeping the kernel bandwidth-bound.
 The adjoint (= exact inverse; orthogonal transform) is a second kernel
 wired through jax.custom_vjp.  Non-TPU backends run the interpreter.
 
-MEASURED VERDICT (v5e, 32x1x256x256, fp32, 500 iters): this kernel runs
-1.22 ms vs 0.20 ms for the XLA-fused elementwise fast path in
-transform2d._haar_even_afb2d — the MXU detour (forced fp32 = 3-pass)
-loses to XLA's single-fusion VPU lowering for this bandwidth-bound op.
-The production discriminators therefore default to the XLA path
-(wavelets.dwt2); this kernel is kept as the measured alternative and as
-the template for future Pallas work where fusion actually pays.
+MEASURED VERDICT (v5e, 32x1x256x256 fp32, honest host-sync timing —
+`block_until_ready` is a no-op on this runtime, see
+benchmarks/README.md): this kernel runs 0.313 ms vs 0.358 ms for the
+XLA-fused elementwise path in transform2d._haar_even_afb2d (~13%
+faster).  On TPU, `wavelets.dwt2`'s haar even-size fast path routes
+here; CPU/tests use the XLA path (interpret mode covers correctness).
 """
 
 from __future__ import annotations

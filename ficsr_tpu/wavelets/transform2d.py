@@ -97,8 +97,21 @@ def _is_haar_even(wave: str, mode: str, h: int, w: int) -> bool:
     )
 
 
+def _use_pallas_haar() -> bool:
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
 def _afb2d_impl(x: jnp.ndarray, wave: str, mode: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if _is_haar_even(wave, mode, x.shape[2], x.shape[3]):
+        if _use_pallas_haar():
+            # fused single-pass kernel: measured 0.313 ms vs 0.358 ms
+            # for the XLA fusion at 32x1x256x256 (honest host-sync
+            # timing; see benchmarks/README.md)
+            from ficsr_tpu.wavelets.pallas_haar import _fwd_call
+
+            return _fwd_call(x, False, False)
         return _haar_even_afb2d(x)
     h0, h1 = _analysis_filters(wave)
     lo_r, hi_r = afb1d(x, h0, h1, mode=mode, axis=3)
@@ -109,6 +122,10 @@ def _afb2d_impl(x: jnp.ndarray, wave: str, mode: str) -> Tuple[jnp.ndarray, jnp.
 
 def _sfb2d_impl(ll: jnp.ndarray, highs: jnp.ndarray, wave: str, mode: str) -> jnp.ndarray:
     if _is_haar_even(wave, mode, ll.shape[2] * 2, ll.shape[3] * 2):
+        if _use_pallas_haar():
+            from ficsr_tpu.wavelets.pallas_haar import _inv_call
+
+            return _inv_call(ll, highs, False, False)
         return _haar_even_sfb2d(ll, highs)
     g0, g1 = _synthesis_filters(wave)
     lh, hl, hh = highs[:, :, 0], highs[:, :, 1], highs[:, :, 2]
@@ -138,7 +155,7 @@ def _dwt2_bwd(wave, mode, res, ct):
     # sizes the transform is orthogonal with no padding, so the adjoint
     # IS the fast inverse.
     if _is_haar_even(wave, mode, in_h, in_w):
-        return (_haar_even_sfb2d(d_ll, d_highs),)
+        return (_sfb2d_impl(d_ll, d_highs, wave, mode),)
     h0, h1 = _analysis_filters(wave)
     lo = sfb1d(d_ll, d_highs[:, :, 0], h0, h1, mode=mode, axis=2)
     hi = sfb1d(d_highs[:, :, 1], d_highs[:, :, 2], h0, h1, mode=mode, axis=2)
@@ -166,7 +183,7 @@ def _idwt2_bwd(wave, mode, res, ct):
     # One level of analysis with the SYNTHESIS filters — the reference's
     # SFB2D.backward (`dwt/lowlevel.py:682-694`).
     if _is_haar_even(wave, mode, ct.shape[2], ct.shape[3]):
-        d_ll, d_highs = _haar_even_afb2d(ct)
+        d_ll, d_highs = _afb2d_impl(ct, wave, mode)
         return d_ll, d_highs
     g0, g1 = _synthesis_filters(wave)
     lo_r, hi_r = afb1d(ct, g0, g1, mode=mode, axis=3)
