@@ -65,7 +65,6 @@ class TrainConfig:
     data_parallel: bool = True     # shard the batch over all devices
     output_dir: str = "./output_exp"
     sample_dir: str = "./checkpoint_exp"
-    eval_root: str = ""            # paired LR/HR eval set (ImageDataset6mm)
     test_path: str = "./dataset/evalution_6mm/parts"
     seed: int = 0
     log_every: int = 50

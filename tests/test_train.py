@@ -175,3 +175,39 @@ def test_data_parallel_step_on_mesh():
     state, metrics = step(state, ra, rb, 1e-4)
     assert np.isfinite(float(metrics["loss_G"]))
     assert int(state.buf_a.size) == 8
+
+
+def test_data_parallel_matches_single_device():
+    """DP over the 8-device mesh must reproduce the single-device step
+    on the same global batch (validates replication, batch sharding,
+    gradient psum, and global-batch BN statistics)."""
+    from ficsr_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_batch, shard_train_step)
+
+    cfg = TrainConfig(batchSize=8, sizeA=32, sizeB=64, d_layers=3)
+    ra = jax.random.normal(jax.random.PRNGKey(1), (8, 1, 64, 64))
+    rb = jax.random.normal(jax.random.PRNGKey(2), (8, 1, 64, 64))
+
+    state1 = create_train_state(cfg, jax.random.PRNGKey(0))
+    step1 = build_train_step(cfg, donate=False)
+    new1, m1 = step1(state1, ra, rb, 1e-4)
+
+    mesh = make_mesh(8)
+    state8 = replicate(mesh, create_train_state(cfg, jax.random.PRNGKey(0)))
+    step8 = shard_train_step(build_train_step(cfg, jit=False), mesh)
+    new8, m8 = step8(state8, shard_batch(mesh, ra), shard_batch(mesh, rb),
+                     1e-4)
+
+    assert abs(float(m1["loss_G"]) - float(m8["loss_G"])) < 1e-4
+    assert abs(float(m1["loss_D_A"]) - float(m8["loss_D_A"])) < 1e-4
+    # Adam's first-step update ~ sign(g)*lr amplifies f32
+    # reduction-order differences; 1e-3 ~ 1% of the 1e-4*... update scale
+    for a, b in zip(jax.tree.leaves(new1.g_params),
+                    jax.tree.leaves(new8.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3)
+    # BN stats are global-batch (sync-BN) in both
+    for a, b in zip(jax.tree.leaves(new1.g_stats),
+                    jax.tree.leaves(new8.g_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5)
