@@ -55,5 +55,5 @@ def save_torch_checkpoint(path: str, state_dict: Dict[str, np.ndarray]):
     """Write a torch-loadable .pth from a numpy state_dict."""
     import torch
 
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+    torch.save({k: torch.from_numpy(np.array(v, copy=True))
                 for k, v in state_dict.items()}, path)

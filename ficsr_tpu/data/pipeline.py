@@ -58,6 +58,22 @@ def random_crop(imgs: jnp.ndarray, size: int, rng: jax.Array) -> jnp.ndarray:
     return jax.vmap(crop_one)(imgs, tops, lefts)
 
 
+def paired_random_crop(a: jnp.ndarray, b: jnp.ndarray, size: int,
+                       rng: jax.Array):
+    """Identical per-sample random crops on two aligned (N, H, W) stacks
+    (paired fine-tuning: the LR/HR windows must match)."""
+    n, h, w = a.shape
+    k1, k2 = jax.random.split(rng)
+    tops = jax.random.randint(k1, (n,), 0, h - size + 1)
+    lefts = jax.random.randint(k2, (n,), 0, w - size + 1)
+
+    def crop_one(img, top, left):
+        return jax.lax.dynamic_slice(img, (top, left), (size, size))
+
+    return (jax.vmap(crop_one)(a, tops, lefts),
+            jax.vmap(crop_one)(b, tops, lefts))
+
+
 def center_crop(imgs: jnp.ndarray, size: int) -> jnp.ndarray:
     h, w = imgs.shape[-2], imgs.shape[-1]
     top, left = (h - size) // 2, (w - size) // 2
