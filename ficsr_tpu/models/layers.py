@@ -10,8 +10,6 @@ scale ~ N(1, 0.02), biases zero.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 from dataclasses import dataclass
-from typing import Optional
 
 __all__ = ["TrainConfig", "parse_args", "str2bool"]
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

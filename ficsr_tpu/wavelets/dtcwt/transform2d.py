@@ -8,7 +8,7 @@ None (the reference uses empty 0-d tensors).
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple, Union
+from typing import List, Tuple, Union
 
 import jax.numpy as jnp
 from jax import lax

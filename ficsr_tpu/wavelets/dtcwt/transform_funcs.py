@@ -12,7 +12,6 @@ INV_J1/INV_J2PLUS.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

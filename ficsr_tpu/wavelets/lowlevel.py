@@ -33,14 +33,14 @@ pytorch_wavelets; internally XLA picks its own layouts.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ficsr_tpu.wavelets.coeffs import Wavelet, dwt_coeff_len, get_wavelet
+from ficsr_tpu.wavelets.coeffs import dwt_coeff_len, get_wavelet
 
 __all__ = [
     "wpad",

@@ -21,7 +21,6 @@ from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from ficsr_tpu.wavelets.dtcwt import coeffs as _coeffs
 from ficsr_tpu.wavelets.dtcwt.transform_funcs import (

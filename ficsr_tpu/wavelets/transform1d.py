@@ -9,8 +9,6 @@ engine.  Analytic-adjoint custom VJPs mirror AFB1D/SFB1D.backward.
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -29,11 +29,10 @@ fused Pallas kernel in `pallas_haar.py`.
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ficsr_tpu.wavelets.coeffs import get_wavelet
 from ficsr_tpu.wavelets.lowlevel import (
