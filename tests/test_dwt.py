@@ -219,3 +219,14 @@ def test_jit_and_vmap_compose(rng):
     xx = jnp.stack([x, x])
     ll2, hs2 = jax.vmap(f)(xx)
     np.testing.assert_allclose(np.asarray(ll2[0]), np.asarray(ll), atol=1e-6)
+
+
+@pytest.mark.parametrize("wave", ["sym4", "sym6", "rbio2.2", "bior1.3",
+                                  "db6", "db8"])
+def test_extended_wavelet_families_roundtrip(rng, wave):
+    """Wider family coverage: symlets (least-asymmetric factorization),
+    reverse biorthogonal, higher-order Daubechies."""
+    x = rng.randn(1, 1, 64, 64).astype(np.float32)
+    coeffs = wavedec2(jnp.asarray(x), wave, "periodization", level=2)
+    y = waverec2(coeffs, wave, "periodization")
+    np.testing.assert_allclose(np.asarray(y), x, atol=2e-5)
