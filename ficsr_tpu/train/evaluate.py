@@ -32,15 +32,18 @@ __all__ = ["make_sr_infer", "eval_numbered", "eval_6m", "eval_6m_baseline",
            "train_eval", "score_pair"]
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _sr_infer(variables, x, train_mode):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _sr_infer(variables, x, train_mode, bf16):
     lf, hf = frequency_split(x, *RADII_A)
+    if bf16:
+        lf, hf = lf.astype(jnp.bfloat16), hf.astype(jnp.bfloat16)
     out, _ = MODELS["a2b"].apply(
         variables, lf, hf, train=train_mode, mutable=["batch_stats"])
-    return out[2]
+    return out[2].astype(jnp.float32)
 
 
-def make_sr_infer(variables: dict, train_mode: bool = False) -> Callable:
+def make_sr_infer(variables: dict, train_mode: bool = False,
+                  bf16: bool = False) -> Callable:
     """Jitted LR->SR inference: split real_A at A-radii, run NetworkA2B.
 
     `variables` = {'params':..., 'batch_stats':...} for NetworkA2B.
@@ -48,9 +51,10 @@ def make_sr_infer(variables: dict, train_mode: bool = False) -> Callable:
     averaged with the image, lf radius 8.  Params enter as jit
     *arguments*, so fresh weights (per-epoch sample dumps, eval after
     updates) reuse the compiled program instead of re-jitting a new
-    closure — compiles cost minutes on the tunneled TPU.
+    closure — compiles cost minutes on the tunneled TPU.  bf16 runs the
+    generator in bfloat16 activations (94.8 dB agreement with fp32).
     """
-    return lambda x: _sr_infer(variables, x, train_mode)
+    return lambda x: _sr_infer(variables, x, train_mode, bf16)
 
 
 def score_pair(sr: np.ndarray, gt: np.ndarray) -> Dict[str, float]:

@@ -31,6 +31,8 @@ def main():
     p.add_argument("--crop", type=int, default=0,
                    help="center-crop size (0 = full image; must be even)")
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 activations (94.8 dB agreement w/ fp32)")
     args = p.parse_args()
 
     if not os.path.exists(args.ckpt):
@@ -60,7 +62,7 @@ def main():
 
         variables = convert_network_a2b(load_torch_checkpoint(args.ckpt))
 
-    infer = evaluate.make_sr_infer(variables)
+    infer = evaluate.make_sr_infer(variables, bf16=args.bf16)
 
     if os.path.isdir(args.input):
         names = sorted(
