@@ -104,19 +104,30 @@ def bandreject_pass(x: jnp.ndarray, r_out: float = 300.0,
 
 
 def frequency_split(x: jnp.ndarray, hf_radius: float,
-                    lf_radius: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    lf_radius: float,
+                    strict_batch1: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The generator input recipe: (lf, hf) with hf pre-averaged with x.
 
     hf = (high_pass(x, hf_radius) + x) / 2 ; lf = low_pass(x, lf_radius)
     — exactly the per-call-site pattern in `train.py:173-175` etc.
     One fft2 of x is shared by both branches.
+
+    strict_batch1=True reproduces the reference's literal behavior at
+    batch > 1: only sample 0 is filtered and its spectrum broadcasts to
+    the whole batch (`train.py:173`, `utils.py:94`) — identical to the
+    default at batch 1; exposed for exact-replication experiments.
     """
     h, w = x.shape[-2], x.shape[-1]
-    f = jnp.fft.fft2(x.astype(jnp.float32))
+    src = x[:1] if (strict_batch1 and x.ndim == 4) else x
+    f = jnp.fft.fft2(src.astype(jnp.float32))
     m_hi = jnp.asarray(np.fft.ifftshift(gaussian_highpass_mask(h, w, hf_radius)))
     m_lo = jnp.asarray(np.fft.ifftshift(gaussian_lowpass_mask(h, w, lf_radius)))
     hf = jnp.abs(jnp.fft.ifft2(f * m_hi)).astype(jnp.float32)
     lf = -jnp.abs(jnp.fft.ifft2(f * m_lo)).astype(jnp.float32)
+    if strict_batch1 and x.ndim == 4:
+        hf = jnp.broadcast_to(hf, x.shape)
+        lf = jnp.broadcast_to(lf, x.shape)
     hf = (hf + x) * 0.5
     return lf, hf
 

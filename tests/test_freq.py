@@ -95,3 +95,22 @@ def test_edge_ops(rng):
     assert lap.shape == (1, 1, 16, 16)
     sob = freq.sobel_edge(x)
     assert sob.shape == (1, 1, 14, 14)
+
+
+def test_strict_batch1_compat(rng):
+    """strict_batch1 reproduces the reference's sample-0 broadcast
+    (train.py:173, utils.py:94); identical to batched mode at N=1."""
+    x = rng.randn(3, 1, 32, 32).astype(np.float32)
+    xj = jnp.asarray(x)
+    lf_s, hf_s = freq.frequency_split(xj, 10.0, 8.0, strict_batch1=True)
+    lf0, hf0 = freq.frequency_split(xj[:1], 10.0, 8.0)
+    # every sample's filtered part comes from sample 0
+    np.testing.assert_allclose(np.asarray(lf_s[1]), np.asarray(lf0[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hf_s[2]),
+                               (np.asarray(hf0[0]) * 2 - x[0] + x[2]) / 2,
+                               atol=1e-6)
+    # batch 1: strict == batched
+    lf_a, hf_a = freq.frequency_split(xj[:1], 10.0, 8.0, strict_batch1=True)
+    np.testing.assert_allclose(np.asarray(lf_a), np.asarray(lf0), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(hf_a), np.asarray(hf0), atol=1e-7)

@@ -147,3 +147,66 @@ def test_g_loss_value_and_grad_parity(rng):
         denom = np.maximum(np.abs(ref_g).max(), 1e-6)
         rel_err = np.abs(got - ref_g).max() / denom
         assert rel_err < 5e-3, f"grad mismatch at {path}: rel {rel_err:.2e}"
+
+
+def test_d_loss_value_and_grad_parity(rng):
+    """Discriminator-phase parity (train.py:241-269): loss values and
+    D-parameter gradients vs the reference, identical converted weights."""
+    ref_model = ref_shims.load_reference_module("model")
+    torch.manual_seed(5)
+    netD_A = ref_model.FS_DiscriminatorA(1)
+    netD_B = ref_model.FS_DiscriminatorB(1)
+    netD_A.train()
+    netD_B.train()
+
+    real_A = torch.from_numpy(rng.randn(1, 1, 256, 256).astype(np.float32))
+    real_B = torch.from_numpy(rng.randn(1, 1, 256, 256).astype(np.float32))
+    fake_A = torch.from_numpy(rng.randn(1, 1, 256, 256).astype(np.float32))
+    fake_B = torch.from_numpy(rng.randn(1, 1, 256, 256).astype(np.float32))
+
+    mse = torch.nn.MSELoss()
+    ones, zeros = torch.ones(1), torch.zeros(1)
+    loss_D_A = 0.5 * (mse(netD_A(real_A), ones) +
+                      mse(netD_A(fake_A), zeros))
+    loss_D_B = 0.5 * (mse(netD_B(real_B), ones) +
+                      mse(netD_B(fake_B), zeros))
+    (loss_D_A + loss_D_B).backward()
+    probes_ref = {
+        ("da", "net", "conv0", "weight"):
+            netD_A.net.model[0].weight.grad.numpy(),
+        ("da", "net_dwt", "head", "weight"):
+            netD_A.net_dwt.model[17].weight.grad.numpy(),
+        ("db", "net", "conv2", "weight"):
+            netD_B.net.model[5].weight.grad.numpy(),
+        ("db", "net_dwt", "conv0", "weight"):
+            netD_B.net_dwt.model[0].weight.grad.numpy(),
+    }
+
+    d_vars = {
+        "da": from_torch.convert_fs_discriminator(netD_A.state_dict()),
+        "db": from_torch.convert_fs_discriminator(netD_B.state_dict()),
+    }
+    d_p = {k: v["params"] for k, v in d_vars.items()}
+    d_s = {k: v["batch_stats"] for k, v in d_vars.items()}
+
+    _, d_loss_fn = build_loss_fns(TrainConfig())
+
+    @jax.jit
+    def loss_and_grad(dp):
+        (loss, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            dp, d_s,
+            jnp.asarray(real_A.numpy()), jnp.asarray(real_B.numpy()),
+            jnp.asarray(fake_A.numpy()), jnp.asarray(fake_B.numpy()))
+        return loss, aux["metrics"], grads
+
+    loss, metrics, grads = loss_and_grad(d_p)
+    assert abs(float(metrics["loss_D_A"]) - float(loss_D_A)) < 1e-4
+    assert abs(float(metrics["loss_D_B"]) - float(loss_D_B)) < 1e-4
+    for path, ref_g in probes_ref.items():
+        node = grads[path[0]]
+        for k in path[1:]:
+            node = node[k]
+        got = np.asarray(node)
+        denom = np.maximum(np.abs(ref_g).max(), 1e-8)
+        rel = np.abs(got - ref_g).max() / denom
+        assert rel < 5e-3, f"grad mismatch at {path}: rel {rel:.2e}"
