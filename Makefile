@@ -1,0 +1,27 @@
+# Convenience targets (the reference ships tox/travis, W15; this repo's
+# gate is the pytest suite on a virtual 8-device CPU mesh).
+
+.PHONY: test test-fast test-slow bench bench-train lint dryrun
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
+
+test-slow:
+	python -m pytest tests/ -q -m slow
+
+bench:
+	python bench.py
+
+bench-train:
+	python bench.py --train
+
+dryrun:
+	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
+	import os; os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')+' --xla_force_host_platform_device_count=8'; \
+	import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+lint:
+	python -m pyflakes ficsr_tpu tests *.py 2>/dev/null || true

@@ -70,8 +70,43 @@ def measure(batch: int, iters: int = 20, dtype=jnp.float32) -> float:
     return batch * iters / dt
 
 
+def measure_train(batch: int = 1, iters: int = 20, bf16: bool = False) -> float:
+    """Train steps/sec with honest chained sync (state chains step to
+    step; one final host transfer forces everything)."""
+    from ficsr_tpu.train.config import TrainConfig
+    from ficsr_tpu.train.state import create_train_state
+    from ficsr_tpu.train.step import build_train_step
+
+    cfg = TrainConfig(batchSize=batch, bf16=bf16)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = build_train_step(cfg)
+    ra = jax.random.normal(jax.random.PRNGKey(1), (batch, 1, 256, 256))
+    rb = jax.random.normal(jax.random.PRNGKey(2), (batch, 1, 256, 256))
+    state, m = step(state, ra, rb, 1.3e-4)
+    float(m["loss_G"])  # compile + sync
+    acc = jnp.zeros(())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, ra, rb, 1.3e-4)
+        acc = acc + m["loss_G"]
+    float(acc)
+    return iters / (time.perf_counter() - t0)
+
+
 def main():
+    import sys
+
     platform = jax.devices()[0].platform
+    if "--train" in sys.argv:
+        sps = measure_train(batch=1, iters=5 if platform == "cpu" else 20)
+        print(json.dumps({
+            "metric": "octa_cyclegan_train_256px_b1",
+            "value": round(sps, 2),
+            "unit": "steps/sec/chip",
+            "vs_baseline": None,
+            "platform": platform,
+        }))
+        return
     # one compile only: TPU compiles through the axon tunnel cost ~90 s
     # each and the persistent cache misses across sessions.  batch 32
     # was the measured throughput sweet spot; bf16 activations agree
