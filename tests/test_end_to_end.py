@@ -172,3 +172,38 @@ def test_pth_conversion_inference_path(tmp_path, rng):
     sr = infer(x)
     assert sr.shape == (1, 1, 64, 64)
     assert np.isfinite(np.asarray(sr)).all()
+
+
+def test_checkpoint_resume_equivalence(tmp_path):
+    """Training N steps == training k, save, restore, training N-k
+    (validates that the checkpoint captures ALL training state)."""
+    from ficsr_tpu.train.step import build_train_step
+
+    cfg = TrainConfig(batchSize=1, sizeA=32, sizeB=64, d_layers=3)
+    step = build_train_step(cfg, donate=False)
+    ra = jax.random.normal(jax.random.PRNGKey(11), (1, 1, 64, 64))
+    rb = jax.random.normal(jax.random.PRNGKey(12), (1, 1, 64, 64))
+
+    # straight 4 steps
+    s_direct = create_train_state(cfg, jax.random.PRNGKey(0))
+    for _ in range(4):
+        s_direct, _ = step(s_direct, ra, rb, 1e-4)
+
+    # 2 steps -> save -> restore -> 2 steps
+    s = create_train_state(cfg, jax.random.PRNGKey(0))
+    for _ in range(2):
+        s, _ = step(s, ra, rb, 1e-4)
+    directory = str(tmp_path / "resume_ckpt")
+    save_checkpoint(directory, jax.device_get(s), step=2)
+    template = create_train_state(cfg, jax.random.PRNGKey(1))
+    s2 = restore_checkpoint(directory, template)
+    for _ in range(2):
+        s2, _ = step(s2, ra, rb, 1e-4)
+
+    for a, b in zip(jax.tree.leaves(s_direct.g_params),
+                    jax.tree.leaves(s2.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s_direct.d_params),
+                    jax.tree.leaves(s2.d_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s2.step) == 4
