@@ -50,3 +50,18 @@ def shard_train_step(train_step, mesh: Mesh, axis: str = "data"):
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host initialization (SURVEY §5): call once at process start
+    on multi-host pods. No-op unless coordinator env vars are present
+    (JAX_COORDINATOR_ADDRESS or COORDINATOR_ADDRESS, as set by most TPU
+    pod launchers)."""
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+        os.environ.get("COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    jax.distributed.initialize()
+    return True

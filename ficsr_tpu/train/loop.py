@@ -17,7 +17,9 @@ import numpy as np
 
 from ficsr_tpu.data.datasets import ImageDataset, ImageDataset6mm
 from ficsr_tpu.data.pipeline import preprocess_train_a, preprocess_train_b
-from ficsr_tpu.parallel.mesh import make_mesh, replicate, shard_batch, shard_train_step
+from ficsr_tpu.parallel.mesh import (
+    make_mesh, maybe_init_distributed, replicate, shard_batch,
+    shard_train_step)
 from ficsr_tpu.train import evaluate
 from ficsr_tpu.train.checkpoint import save_checkpoint
 from ficsr_tpu.train.config import TrainConfig
@@ -56,6 +58,7 @@ def _batch_iter(dataset: ImageDataset, batch: int, epoch: int,
 
 def train(config: TrainConfig, state: Optional[TrainState] = None,
           max_steps: Optional[int] = None) -> TrainState:
+    maybe_init_distributed()  # no-op off-pod
     # validate data before any (minutes-long) device compilation
     dataset = ImageDataset(config.dataroot, unaligned=True, seed=config.seed)
     print(len(dataset))
