@@ -141,3 +141,18 @@ def test_jit_compiles(rng):
     yl, yh = f(x)
     yl2, yh2 = xfm(x)
     np.testing.assert_allclose(np.asarray(yl), np.asarray(yl2), atol=1e-6)
+
+
+def test_zero_padding_mode_parity(rng):
+    """Level-1 'zero' padding variant (J2+ is always symmetric)."""
+    x = rng.randn(1, 1, 64, 64).astype(np.float32)
+    pywt_shim.install()
+    from pytorch_wavelets.dtcwt.transform2d import DTCWTForward as Ref
+
+    xfm_ref = Ref(J=2, mode="zero")
+    with torch.no_grad():
+        yl_ref, yh_ref = xfm_ref(torch.from_numpy(x))
+    yl, yh = DTCWTForward(J=2, mode="zero")(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(yl), yl_ref.numpy(), atol=1e-4)
+    for a, b in zip(yh, yh_ref):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), atol=1e-4)
