@@ -76,15 +76,27 @@ def main():
 
     from PIL import Image
 
-    for path, out in zip(paths, outs):
-        img = jnp.asarray(load_grayscale(path))
-        x = normalize(to_unit(img))
-        if args.crop:
-            x = center_crop(x, args.crop)
-        sr = np.asarray(infer(x[None, None]))[0, 0]
+    def save(out_path, sr):
         u8 = np.clip((sr + 1.0) * 127.5, 0, 255).astype(np.uint8)
-        Image.fromarray(u8, mode="L").save(out)
-        print(f"{path} -> {out}  ({u8.shape[1]}x{u8.shape[0]})")
+        Image.fromarray(u8, mode="L").save(out_path)
+        print(f"-> {out_path}  ({u8.shape[1]}x{u8.shape[0]})")
+
+    if args.crop and len(paths) > 1:
+        # cropping fixes the shape -> batch for throughput (one compile)
+        for i in range(0, len(paths), args.batch):
+            chunk = paths[i:i + args.batch]
+            imgs = [center_crop(normalize(to_unit(
+                jnp.asarray(load_grayscale(p)))), args.crop) for p in chunk]
+            batch = jnp.stack(imgs)[:, None]
+            srs = np.asarray(infer(batch))
+            for out, sr in zip(outs[i:i + args.batch], srs[:, 0]):
+                save(out, sr)
+    else:
+        for path, out in zip(paths, outs):
+            x = normalize(to_unit(jnp.asarray(load_grayscale(path))))
+            if args.crop:
+                x = center_crop(x, args.crop)
+            save(out, np.asarray(infer(x[None, None]))[0, 0])
 
 
 if __name__ == "__main__":
