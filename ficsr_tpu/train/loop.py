@@ -81,7 +81,6 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
         step_fn = build_train_step(config)
         put = lambda x: x  # noqa: E731
 
-    np_rng = np.random.RandomState(config.seed)
     total_steps = 0
     for epoch in range(config.epoch, config.n_epochs):
         if config.scheduler:
