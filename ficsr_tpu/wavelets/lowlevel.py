@@ -45,6 +45,7 @@ from ficsr_tpu.wavelets.coeffs import dwt_coeff_len, get_wavelet
 __all__ = [
     "wpad",
     "afb1d",
+    "afb1d_multi",
     "sfb1d",
     "afb2d",
     "sfb2d",
@@ -123,15 +124,15 @@ def _fold_channels(x: jnp.ndarray) -> Tuple[jnp.ndarray, int, int]:
 def _conv_1d_along(x4: jnp.ndarray, w2: jnp.ndarray, axis: int,
                    stride: int, lhs_dilation: int = 1,
                    padding=((0, 0),)) -> jnp.ndarray:
-    """Correlate the (B,1,H,W) tensor with a (2,1,L) filter pair along axis."""
-    L = w2.shape[-1]
+    """Correlate the (B,1,H,W) tensor with a (K,L) filter stack along axis."""
+    K, L = w2.shape[0], w2.shape[-1]
     if axis == 2:
-        kernel = w2.reshape(2, 1, L, 1)
+        kernel = w2.reshape(K, 1, L, 1)
         strides = (stride, 1)
         dil = (lhs_dilation, 1)
         pad = (padding[0], (0, 0))
     else:
-        kernel = w2.reshape(2, 1, 1, L)
+        kernel = w2.reshape(K, 1, 1, L)
         strides = (1, stride)
         dil = (1, lhs_dilation)
         pad = ((0, 0), padding[0])
@@ -146,21 +147,25 @@ def _conv_1d_along(x4: jnp.ndarray, w2: jnp.ndarray, axis: int,
     )
 
 
-def afb1d(x: jnp.ndarray, h0: jnp.ndarray, h1: jnp.ndarray, mode: str,
-          axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Single-axis analysis bank. x: (N,C,H,W) -> (lo, hi) each (N,C,H',W').
+def afb1d_multi(x: jnp.ndarray, filts, mode: str, axis: int) -> jnp.ndarray:
+    """Single-axis analysis bank with an arbitrary filter stack.
+
+    x: (N,C,H,W), filts: K 1-D filters (pre-flipped, equal length) ->
+    (N, C, K, H', W').  One channel-folded dense conv — K filters ride
+    a single XLA convolution (the TPU-native form of the reference's
+    grouped quad packing, `dtcwt/lowlevel2.py:259-374`).
 
     Mirrors reference `afb1d` (`dwt/lowlevel.py:91-172`): same pad
     formula ``p = 2*(outsize-1) - N + L`` and the same periodization
-    roll/fold.  Filters must already be flipped (prep_filt_afb1d).
+    roll/fold.
     """
     axis = axis % 4
     assert axis in (2, 3)
     N = x.shape[axis]
-    L = int(h0.shape[-1])
+    L = int(filts[0].shape[-1])
     L2 = L // 2
     xf, n, c = _fold_channels(x)
-    h = jnp.stack([jnp.asarray(h0, x.dtype), jnp.asarray(h1, x.dtype)], axis=0)
+    h = jnp.stack([jnp.asarray(f, x.dtype) for f in filts], axis=0)
 
     if mode in ("per", "periodization"):
         if N % 2 == 1:
@@ -186,7 +191,15 @@ def afb1d(x: jnp.ndarray, h0: jnp.ndarray, h1: jnp.ndarray, mode: str,
         else:
             raise ValueError(f"Unknown pad mode: {mode}")
 
-    out = lohi.reshape(n, c, 2, lohi.shape[2], lohi.shape[3])
+    return lohi.reshape(n, c, len(filts), lohi.shape[2], lohi.shape[3])
+
+
+def afb1d(x: jnp.ndarray, h0: jnp.ndarray, h1: jnp.ndarray, mode: str,
+          axis: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-axis analysis bank. x: (N,C,H,W) -> (lo, hi) each (N,C,H',W').
+
+    Filters must already be flipped (prep_filt_afb1d)."""
+    out = afb1d_multi(x, (h0, h1), mode, axis)
     return out[:, :, 0], out[:, :, 1]
 
 
