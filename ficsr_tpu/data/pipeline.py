@@ -80,8 +80,42 @@ def center_crop(imgs: jnp.ndarray, size: int) -> jnp.ndarray:
     return imgs[..., top:top + size, left:left + size]
 
 
+# torch F.interpolate(mode='bicubic') fixed-phase weights for exact 2x
+# upscale with half-pixel centers: out[2k] samples src k-0.25 (t=0.75),
+# out[2k+1] samples src k+0.25 (t=0.25); Keys cubic with a=-0.75 (torch's
+# coefficient — PIL and jax.image.resize use a=-0.5, measurably different:
+# max |delta| 0.076 on [0,1] data).  Taps cover src f-1..f+2 with
+# edge-replicate clamping, matching torch's index clamp.
+_BICUBIC_T25 = (-0.10546875, 0.87890625, 0.26171875, -0.03515625)
+_BICUBIC_T75 = tuple(reversed(_BICUBIC_T25))
+
+
+def _up2_last_axis(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact torch-bicubic 2x upscale along the last axis."""
+    xp = jnp.concatenate(
+        [x[..., :1], x[..., :1], x, x[..., -1:], x[..., -1:]], axis=-1)
+    n = x.shape[-1]
+    even = sum(w * jax.lax.slice_in_dim(xp, j, j + n, axis=-1)
+               for j, w in enumerate(_BICUBIC_T75))
+    odd = sum(w * jax.lax.slice_in_dim(xp, j + 1, j + 1 + n, axis=-1)
+              for j, w in enumerate(_BICUBIC_T25))
+    return jnp.stack([even, odd], axis=-1).reshape(x.shape[:-1] + (2 * n,))
+
+
 def bicubic_resize(imgs: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
-    """Batched bicubic resize on device (torchvision Resize BICUBIC)."""
+    """Batched bicubic resize on device (reference train.py:132
+    `transforms.Resize(..., interpolation=Image.BICUBIC)` applied to a
+    tensor = torch F.interpolate bicubic, align_corners=False).
+
+    The training pipeline always upscales exactly 2x; that case is
+    bit-accurate to torch (fixed-phase separable 4-tap kernel, parity
+    tested to 1e-6).  Any other geometry falls back to
+    ``jax.image.resize`` (a=-0.5 cubic; documented delta vs torch)."""
+    h, w = imgs.shape[-2], imgs.shape[-1]
+    if tuple(out_hw) == (2 * h, 2 * w):
+        x = _up2_last_axis(imgs)                       # width
+        x = _up2_last_axis(x.swapaxes(-1, -2)).swapaxes(-1, -2)  # height
+        return x
     n = imgs.shape[0]
     return jax.image.resize(imgs, (n,) + tuple(out_hw), method="bicubic")
 

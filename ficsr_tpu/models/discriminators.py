@@ -21,7 +21,38 @@ import jax.numpy as jnp
 from ficsr_tpu.models.layers import BatchNorm2d, Conv2d, leaky_relu
 from ficsr_tpu.wavelets import dwt2
 
-__all__ = ["PatchGAN", "FSDiscriminator", "FSDiscriminatorA", "FSDiscriminatorB"]
+__all__ = ["PatchGAN", "FSDiscriminator", "FSDiscriminatorA",
+           "FSDiscriminatorB", "filter_wavelet"]
+
+
+def filter_wavelet(x: jnp.ndarray, cs: str = "sum", sum_band: str = "ll",
+                   norm: bool = True):
+    """Reference ``filter_wavelet`` (model.py:166-178, 222-235).
+
+    Returns, per ``cs``:
+      * 'sum'  -> (band, x) where band = LL for FS_DiscriminatorA
+                  (model.py:171-172) or HH for FS_DiscriminatorB
+                  (model.py:227-228)
+      * 'each' -> (LL, LH, HL, HH, x)   (model.py:174-175, 230-231)
+      * 'cat'  -> (LH|HL|HH concat on channels, x)
+
+    Only LH/HL/HH are renormalized (*0.5+0.5) when ``norm``; LL never is
+    — matching the reference exactly.  Note the reference's own forward
+    unpacks ``dwt, ximg = self.filter(x)``, so 'each' (a 5-tuple) is
+    dead there; it is fully supported here.
+    """
+    ll, highs = dwt2(x, "haar", "reflect")
+    lh, hl, hh = highs[:, :, 0], highs[:, :, 1], highs[:, :, 2]
+    if norm:
+        lh, hl, hh = lh * 0.5 + 0.5, hl * 0.5 + 0.5, hh * 0.5 + 0.5
+    cs = cs.lower()
+    if cs == "sum":
+        return (ll if sum_band == "ll" else hh), x
+    if cs == "each":
+        return ll, lh, hl, hh, x
+    if cs == "cat":
+        return jnp.concatenate([lh, hl, hh], axis=1), x
+    raise NotImplementedError(f"Wavelet format [{cs}] not recognized")
 
 
 class PatchGAN(nn.Module):
@@ -72,20 +103,17 @@ class FSDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        ll, highs = dwt2(x, "haar", "reflect")
-        lh, hl, hh = highs[:, :, 0], highs[:, :, 1], highs[:, :, 2]
-        # subband renorm *0.5+0.5 (model.py:169-170, 225-226); note the
-        # reference never renormalizes LL.
-        lh, hl, hh = lh * 0.5 + 0.5, hl * 0.5 + 0.5, hh * 0.5 + 0.5
         cs = self.cs.lower()
-        if cs == "sum":
-            dwt_in = ll if self.sum_band == "ll" else hh
-            dwt_nc = 1
-        elif cs == "cat":
-            dwt_in = jnp.concatenate([lh, hl, hh], axis=1)  # model.py:232-233
-            dwt_nc = 3
-        else:
-            raise NotImplementedError(f"Wavelet format [{cs}] not recognized")
+        if cs == "each":
+            # The reference's forward unpacks `dwt, ximg = self.filter(x)`
+            # and a 5-tuple raises there too (model.py:155,208); use
+            # filter_wavelet() directly for the per-band tuple.
+            raise ValueError(
+                "cs='each' yields a 5-tuple the discriminator forward "
+                "cannot consume (dead in the reference too); call "
+                "filter_wavelet(x, cs='each') directly")
+        dwt_in, x = filter_wavelet(x, cs, self.sum_band)
+        dwt_nc = 3 if cs == "cat" else 1
 
         spatial = PatchGAN(input_nc=1, n_layers=self.n_layers,
                            name="net")(x, train)

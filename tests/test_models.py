@@ -109,6 +109,33 @@ def test_fs_discriminator_parity(rng, ref_model, cls_name, builder):
     np.testing.assert_allclose(np.asarray(out_j), out.numpy(), atol=2e-4)
 
 
+def test_filter_wavelet_each_parity(rng, ref_model):
+    """cs='each' (reference model.py:174-175, 230-231): per-band 5-tuple.
+    Dead in the reference's forward (2-way unpack) but in the inventory;
+    checked against the reference filter_wavelet itself."""
+    from ficsr_tpu.models.discriminators import filter_wavelet
+
+    x = rng.randn(2, 1, 64, 64).astype(np.float32)
+    net = ref_model.FS_DiscriminatorA(1, cs="each")
+    with torch.no_grad():
+        golden = net.filter(torch.from_numpy(x))
+    ours = filter_wavelet(jnp.asarray(x), cs="each")
+    assert len(golden) == len(ours) == 5
+    for g, o in zip(golden, ours):
+        np.testing.assert_allclose(np.asarray(o), g.numpy(), atol=2e-5)
+
+    # cs='each' through the discriminator forward fails in both
+    # implementations (reference: 5-into-2 unpack ValueError)
+    from ficsr_tpu.models.discriminators import FSDiscriminator
+
+    model = FSDiscriminator(cs="each", n_layers=3)
+    with pytest.raises(ValueError):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 64)),
+                   train=False)
+    with pytest.raises(ValueError):
+        net(torch.from_numpy(x))
+
+
 def test_patchgan_output_map_shape(rng):
     model = PatchGAN(input_nc=1)
     x = jnp.asarray(rng.randn(1, 1, 256, 256).astype(np.float32))
