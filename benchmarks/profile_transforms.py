@@ -21,12 +21,24 @@ import jax.numpy as jnp
 
 
 def _time(fn, x, iters=20):
-    r = fn(x)
-    jax.block_until_ready(r)
+    """Honest device sync (bench.py `measure` pattern): on the axon TPU
+    runtime `jax.block_until_ready` does NOT wait for execution
+    (benchmarks/README.md), so every iteration's output is folded into a
+    device-side scalar accumulator and pulled to the host exactly once —
+    that single transfer forces the whole chain."""
+
+    @jax.jit
+    def step(v, acc):
+        r = fn(v)
+        return acc + sum(jnp.sum(t.astype(jnp.float32))
+                         for t in jax.tree.leaves(r))
+
+    acc = jnp.zeros((), jnp.float32)
+    float(step(x, acc))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = fn(x)
-    jax.block_until_ready(r)
+        acc = step(x, acc)
+    float(acc)  # one host transfer syncs all iterations
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 

@@ -19,14 +19,81 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compile cache (works for the CPU backend; measured 98s ->
+# 39s on the train-step test): first run pays the compiles, re-runs of
+# the fast set drop well under 5 min.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# ---------------------------------------------------------------------------
+# Fast/slow split.  Budget: `pytest -m "not slow"` must stay under ~5 min
+# on the 1-core host (VERDICT r1 weak #2); everything here remains in the
+# full suite, whose green log is committed per round (logs/).  Criteria:
+# extra whole-program compiles, torch-oracle sweeps, and subprocess tests
+# go slow; one representative per invariant stays fast.
+_SLOW_PATTERNS = (
+    "test_train.py::test_data_parallel",          # 8-dev mesh compile
+    "test_train.py::test_bf16_step_compiles",     # 2nd full-step compile
+    "test_finetune.py::test_finetune_step_decreases_loss",
+    "test_finetune.py::test_finetune_from_converted",
+    "test_end_to_end.py::test_checkpoint_resume_equivalence",
+    "test_dtcwt.py::test_real_image",
+    "test_dtcwt.py::test_forward_parity_odd_shapes",
+    "test_dtcwt.py::test_gradient_is_inverse_shaped",
+    "test_dtcwt.py::test_roundtrip",
+    "test_dtcwt.py::test_skip_hps",
+    "test_dwt.py::test_roundtrip[periodization",
+    "test_dwt.py::test_extended_wavelet_families",
+    "test_dwt.py::test_inverse_parity_vs_reference[periodization",
+    "test_scatternet.py::test_scatlayerj2_pad_to_8",
+    "test_scatternet.py::test_scatlayerj2_parity[near_sym_b_bp",
+    "test_scatternet.py::test_scatlayer_gradients_finite",
+    "test_cplxdual.py::test_roundtrip[3",
+    "test_quad_dtcwt.py::test_forward2_parity[3",
+    "test_models.py::test_unet_generator_runs",   # dead path in the ref
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(p in item.nodeid for p in _SLOW_PATTERNS):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(1234)
+
+
+# Shared "fast" training config + ONE compiled train step for every test
+# that doesn't need its own: full-step CPU compiles cost ~1 min each on
+# this 1-core host and dominated the round-1 suite wall time.
+@pytest.fixture(scope="session")
+def fast_cfg():
+    from ficsr_tpu.train.config import TrainConfig
+
+    return TrainConfig(batchSize=1, sizeA=32, sizeB=64, d_layers=3)
+
+
+@pytest.fixture(scope="session")
+def fast_step(fast_cfg):
+    from ficsr_tpu.train.step import build_train_step
+
+    return build_train_step(fast_cfg, donate=False)
+
+
+@pytest.fixture(scope="session")
+def fast_state(fast_cfg):
+    from ficsr_tpu.train.state import create_train_state
+
+    return create_train_state(fast_cfg, jax.random.PRNGKey(0))
 
 
 @pytest.fixture(scope="session", autouse=True)

@@ -1,0 +1,70 @@
+"""BASELINE config-5 shape dryrun: global batch 128 on a 16-device mesh
+(v5e-16 stand-in: 16 virtual CPU devices), with the on-device
+preprocessing (uint8 -> crop -> bicubic x2 -> normalize) running INSIDE
+the sharded path — raw bytes are sharded once and never leave devices.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPT = textwrap.dedent("""
+    import os
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=16")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ficsr_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_batch, shard_train_step)
+    from ficsr_tpu.data.pipeline import preprocess_train_a, preprocess_train_b
+    from ficsr_tpu.train.config import TrainConfig
+    from ficsr_tpu.train.state import create_train_state
+    from ficsr_tpu.train.step import build_train_step
+
+    assert jax.device_count() == 16
+    B = 128  # BASELINE config 5 global batch
+    cfg = TrainConfig(batchSize=B, sizeA=16, sizeB=32, d_layers=2)
+    mesh = make_mesh(16)
+    state = replicate(mesh, create_train_state(cfg, jax.random.PRNGKey(0)))
+    step = shard_train_step(build_train_step(cfg, jit=False), mesh)
+
+    # raw uint8 batches sharded across the mesh; preprocessing is jitted
+    # and sharding-propagating, so crops/bicubic/normalize run per-shard
+    rng = np.random.RandomState(0)
+    raw_a = shard_batch(mesh, jnp.asarray(
+        rng.randint(0, 256, (B, 48, 48), dtype=np.uint8)))
+    raw_b = shard_batch(mesh, jnp.asarray(
+        rng.randint(0, 256, (B, 48, 48), dtype=np.uint8)))
+    real_a = preprocess_train_a(raw_a, cfg.sizeA, jax.random.PRNGKey(1))
+    real_b = preprocess_train_b(raw_b, cfg.sizeB, jax.random.PRNGKey(2))
+    assert real_a.shape == (B, 1, 32, 32) and real_b.shape == (B, 1, 32, 32)
+    # preprocessing must NOT have gathered the batch to one device
+    assert len(real_a.sharding.device_set) == 16, real_a.sharding
+
+    state, metrics = step(state, real_a, real_b, 1.3e-4)
+    loss = float(metrics["loss_G"])
+    assert np.isfinite(loss)
+    # replay history caps at the reference's 50 slots (utils.py buffer)
+    assert int(state.buf_a.size) == min(B, state.buf_a.data.shape[0])
+    print("config5 dryrun ok: loss_G=", loss)
+""")
+
+
+@pytest.mark.slow
+def test_config5_batch128_16devices():
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    proc = subprocess.run([sys.executable, "-c", SCRIPT], cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, (
+        f"config5 dryrun failed\nstdout: {proc.stdout[-2000:]}"
+        f"\nstderr: {proc.stderr[-2000:]}")
+    assert "config5 dryrun ok" in proc.stdout

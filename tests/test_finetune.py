@@ -2,6 +2,7 @@
 step, paired cropping."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +12,13 @@ from ficsr_tpu.train.finetune import (
     create_finetune_state,
     wavelet_loss,
 )
+
+
+@pytest.fixture(scope="module")
+def ft_step():
+    """One compiled finetune step shared across tests (both feed
+    (4,1,64,64) so the jit cache is hit once)."""
+    return build_finetune_step(jit=True, donate=False)
 
 
 def test_wavelet_loss_zero_on_identical(rng):
@@ -28,9 +36,9 @@ def test_paired_random_crop_alignment(rng):
     assert ca.shape == (3, 16, 16)
 
 
-def test_finetune_step_decreases_loss(rng):
+def test_finetune_step_decreases_loss(rng, ft_step):
     state = create_finetune_state(jax.random.PRNGKey(0), size=64)
-    step = build_finetune_step(jit=True, donate=False)
+    step = ft_step
     lr_img = jnp.asarray(rng.randn(4, 1, 64, 64).astype(np.float32)) * 0.5
     hr_img = jnp.asarray(rng.randn(4, 1, 64, 64).astype(np.float32)) * 0.5
 
@@ -47,7 +55,7 @@ def test_finetune_step_decreases_loss(rng):
     assert int(s.step) == 4
 
 
-def test_finetune_from_converted_pretrained(rng, tmp_path):
+def test_finetune_from_converted_pretrained(rng, tmp_path, ft_step):
     """Pretrained init path: torch .pth -> finetune state."""
     import torch
 
@@ -63,8 +71,7 @@ def test_finetune_from_converted_pretrained(rng, tmp_path):
 
     variables = convert_network_a2b(load_torch_checkpoint(path))
     state = create_finetune_state(jax.random.PRNGKey(0), 64, variables)
-    step = build_finetune_step(jit=True, donate=False)
-    lr_img = jnp.asarray(rng.randn(2, 1, 64, 64).astype(np.float32))
-    hr_img = jnp.asarray(rng.randn(2, 1, 64, 64).astype(np.float32))
-    _, m = step(state, lr_img, hr_img, 1e-4)
+    lr_img = jnp.asarray(rng.randn(4, 1, 64, 64).astype(np.float32))
+    hr_img = jnp.asarray(rng.randn(4, 1, 64, 64).astype(np.float32))
+    _, m = ft_step(state, lr_img, hr_img, 1e-4)
     assert np.isfinite(float(m["loss"]))

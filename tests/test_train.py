@@ -14,21 +14,16 @@ from ficsr_tpu.train.state import create_train_state
 from ficsr_tpu.train.step import build_train_step
 
 FAST = TrainConfig(batchSize=1, sizeA=32, sizeB=64, d_layers=3)
+# (fast_state / fast_step / fast_cfg are session fixtures in conftest.py)
 
 
 @pytest.fixture(scope="module")
-def fast_state():
-    return create_train_state(FAST, jax.random.PRNGKey(0))
-
-
-@pytest.fixture(scope="module")
-def stepped(fast_state):
+def stepped(fast_state, fast_step):
     """One jitted train step executed once, reused by several tests."""
-    step = build_train_step(FAST, donate=False)
     k = jax.random.PRNGKey(7)
     ra = jax.random.normal(k, (1, 1, 64, 64), jnp.float32)
     rb = jax.random.normal(jax.random.PRNGKey(8), (1, 1, 64, 64), jnp.float32)
-    new_state, metrics = step(fast_state, ra, rb, 1.3e-4)
+    new_state, metrics = fast_step(fast_state, ra, rb, 1.3e-4)
     return fast_state, new_state, metrics
 
 
@@ -127,22 +122,21 @@ def test_step_updates_everything(stepped):
     assert int(new.step) == 1
 
 
-def test_step_deterministic(fast_state):
-    step = build_train_step(FAST, donate=False)
+def test_step_deterministic(fast_state, fast_step):
     ra = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 64, 64))
     rb = jax.random.normal(jax.random.PRNGKey(8), (1, 1, 64, 64))
-    _, m1 = step(fast_state, ra, rb, 1e-4)
-    _, m2 = step(fast_state, ra, rb, 1e-4)
+    _, m1 = fast_step(fast_state, ra, rb, 1e-4)
+    _, m2 = fast_step(fast_state, ra, rb, 1e-4)
     assert float(m1["loss_G"]) == float(m2["loss_G"])
 
 
-def test_lr_zero_freezes_params(fast_state):
+def test_lr_zero_freezes_params(fast_state, fast_step):
     """AdamW with lr=0 must leave parameters untouched (validates the
     injected-hyperparam plumbing)."""
-    step = build_train_step(FAST, donate=False)
-    ra = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 64, 64))
-    rb = jax.random.normal(jax.random.PRNGKey(8), (1, 1, 64, 64))
-    new_state, _ = step(fast_state, ra, rb, 0.0)
+    new_state, _ = fast_step(
+        fast_state,
+        jax.random.normal(jax.random.PRNGKey(7), (1, 1, 64, 64)),
+        jax.random.normal(jax.random.PRNGKey(8), (1, 1, 64, 64)), 0.0)
     for a, b in zip(jax.tree.leaves(fast_state.g_params),
                     jax.tree.leaves(new_state.g_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -158,45 +152,45 @@ def test_bf16_step_compiles():
     assert np.isfinite(float(metrics["loss_G"]))
 
 
-def test_data_parallel_step_on_mesh():
-    """Full DP train step over the 8-device CPU mesh (BASELINE config 5
-    shape, tiny sizes)."""
+DP_CFG = TrainConfig(batchSize=8, sizeA=32, sizeB=64, d_layers=3)
+
+
+@pytest.fixture(scope="module")
+def dp_stepped():
+    """ONE compiled DP train step + its result, shared by the mesh
+    tests (a full-step CPU compile costs ~1 min on this host)."""
     from ficsr_tpu.parallel.mesh import (
         make_mesh, replicate, shard_batch, shard_train_step)
 
-    cfg = TrainConfig(batchSize=8, sizeA=32, sizeB=64, d_layers=3)
     mesh = make_mesh(8)
-    state = replicate(mesh, create_train_state(cfg, jax.random.PRNGKey(0)))
-    step = shard_train_step(build_train_step(cfg, jit=False), mesh)
-    ra = shard_batch(mesh, jax.random.normal(
-        jax.random.PRNGKey(1), (8, 1, 64, 64)))
-    rb = shard_batch(mesh, jax.random.normal(
-        jax.random.PRNGKey(2), (8, 1, 64, 64)))
-    state, metrics = step(state, ra, rb, 1e-4)
+    state0 = create_train_state(DP_CFG, jax.random.PRNGKey(0))
+    state = replicate(mesh, state0)
+    step = shard_train_step(build_train_step(DP_CFG, jit=False), mesh)
+    ra = jax.random.normal(jax.random.PRNGKey(1), (8, 1, 64, 64))
+    rb = jax.random.normal(jax.random.PRNGKey(2), (8, 1, 64, 64))
+    new_state, metrics = step(
+        state, shard_batch(mesh, ra), shard_batch(mesh, rb), 1e-4)
+    return ra, rb, new_state, metrics
+
+
+def test_data_parallel_step_on_mesh(dp_stepped):
+    """Full DP train step over the 8-device CPU mesh (BASELINE config 5
+    shape, tiny sizes)."""
+    _, _, state, metrics = dp_stepped
     assert np.isfinite(float(metrics["loss_G"]))
     assert int(state.buf_a.size) == 8
 
 
-def test_data_parallel_matches_single_device():
+@pytest.mark.slow
+def test_data_parallel_matches_single_device(dp_stepped):
     """DP over the 8-device mesh must reproduce the single-device step
     on the same global batch (validates replication, batch sharding,
     gradient psum, and global-batch BN statistics)."""
-    from ficsr_tpu.parallel.mesh import (
-        make_mesh, replicate, shard_batch, shard_train_step)
+    ra, rb, new8, m8 = dp_stepped
 
-    cfg = TrainConfig(batchSize=8, sizeA=32, sizeB=64, d_layers=3)
-    ra = jax.random.normal(jax.random.PRNGKey(1), (8, 1, 64, 64))
-    rb = jax.random.normal(jax.random.PRNGKey(2), (8, 1, 64, 64))
-
-    state1 = create_train_state(cfg, jax.random.PRNGKey(0))
-    step1 = build_train_step(cfg, donate=False)
+    state1 = create_train_state(DP_CFG, jax.random.PRNGKey(0))
+    step1 = build_train_step(DP_CFG, donate=False)
     new1, m1 = step1(state1, ra, rb, 1e-4)
-
-    mesh = make_mesh(8)
-    state8 = replicate(mesh, create_train_state(cfg, jax.random.PRNGKey(0)))
-    step8 = shard_train_step(build_train_step(cfg, jit=False), mesh)
-    new8, m8 = step8(state8, shard_batch(mesh, ra), shard_batch(mesh, rb),
-                     1e-4)
 
     assert abs(float(m1["loss_G"]) - float(m8["loss_G"])) < 1e-4
     assert abs(float(m1["loss_D_A"]) - float(m8["loss_D_A"])) < 1e-4
