@@ -8,14 +8,15 @@ step never waits on PIL.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Tuple
+from typing import Callable, Iterable, Iterator, Tuple
 
 import numpy as np
 
-__all__ = ["prefetch_batches"]
+__all__ = ["prefetch_batches", "device_prefetch"]
 
 _STOP = object()
 
@@ -54,3 +55,35 @@ def prefetch_batches(dataset, batch_size: int, epoch: int,
             raise item
         yield item
     t.join()
+
+
+def device_prefetch(host_iter: Iterable, put: Callable, depth: int = 2
+                    ) -> Iterator:
+    """Double-buffered device staging: dispatch `put` (H2D transfer +
+    on-device preprocessing) for the next `depth` host batches *before*
+    the consumer asks for them, so batch N+1's transfer/preprocess is
+    already queued behind the device step on batch N.
+
+    JAX dispatch is async, so `put` returns immediately; holding `depth`
+    in-flight results keeps the transfer DMA and the preprocess program
+    overlapped with step compute instead of starting them only after the
+    step has been *dispatched* (host-side serialization).  `put` is
+    called strictly in batch order — RNG-consuming callers keep their
+    key sequence.
+    """
+    buf: collections.deque = collections.deque()
+    it = iter(host_iter)
+
+    def fill():
+        while len(buf) < depth:
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+            buf.append(put(item))
+
+    fill()
+    while buf:
+        out = buf.popleft()
+        fill()
+        yield out

@@ -59,6 +59,8 @@ def _batch_iter(dataset: ImageDataset, batch: int, epoch: int,
 def train(config: TrainConfig, state: Optional[TrainState] = None,
           max_steps: Optional[int] = None) -> TrainState:
     maybe_init_distributed()  # no-op off-pod
+    from ficsr_tpu.train.config import apply_layout
+    apply_layout(config)  # NHWC on TPU unless --layout overrides
     # validate data before any (minutes-long) device compilation
     dataset = ImageDataset(config.dataroot, unaligned=True, seed=config.seed)
     print(len(dataset))
@@ -92,12 +94,23 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
 
         real_out = fake_out = None
         t0, seen = time.time(), 0
-        for i, (a_u8, b_u8) in enumerate(
-                _batch_iter(dataset, config.batchSize, epoch,
-                            num_workers=config.n_cpu)):
+
+        def stage(batch):
+            # runs ahead of the step (device_prefetch): H2D + preprocess
+            # for batch N+1 dispatch while the step on batch N executes
+            nonlocal rng
+            a_u8, b_u8 = batch
             rng, ka, kb = jax.random.split(rng, 3)
-            real_a = put(preprocess_train_a(jnp.asarray(a_u8), config.sizeA, ka))
-            real_b = put(preprocess_train_b(jnp.asarray(b_u8), config.sizeB, kb))
+            real_a = put(preprocess_train_a(
+                jnp.asarray(a_u8), config.sizeA, ka))
+            real_b = put(preprocess_train_b(
+                jnp.asarray(b_u8), config.sizeB, kb))
+            return real_a, real_b
+
+        from ficsr_tpu.data.prefetch import device_prefetch
+        for i, (real_a, real_b) in enumerate(device_prefetch(
+                _batch_iter(dataset, config.batchSize, epoch,
+                            num_workers=config.n_cpu), stage)):
             state, metrics = step_fn(state, real_a, real_b, lr)
             seen += config.batchSize
             total_steps += 1

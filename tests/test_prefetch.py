@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from ficsr_tpu.data.prefetch import prefetch_batches
+from ficsr_tpu.data.prefetch import device_prefetch, prefetch_batches
 
 
 class _FakeDataset:
@@ -31,6 +31,27 @@ def test_prefetch_yields_all_batches():
     assert a.shape == (3, 4, 4) and b.shape == (3, 4, 4)
     np.testing.assert_array_equal(a[:, 0, 0], [0, 1, 2])
     np.testing.assert_array_equal(b[:, 0, 0], [100, 101, 102])
+
+
+def test_device_prefetch_order_and_lookahead():
+    staged = []
+
+    def put(x):
+        staged.append(x)
+        return x * 10
+
+    out = []
+    for y in device_prefetch(range(5), put, depth=2):
+        # by the time batch N is yielded, N+1 has already been staged
+        assert len(staged) >= min(len(out) + 2, 5)
+        out.append(y)
+    assert out == [0, 10, 20, 30, 40]
+    assert staged == [0, 1, 2, 3, 4]  # strict order (RNG sequence safety)
+
+
+def test_device_prefetch_empty_and_short():
+    assert list(device_prefetch([], lambda x: x)) == []
+    assert list(device_prefetch([7], lambda x: x + 1, depth=4)) == [8]
 
 
 def test_prefetch_propagates_loader_errors():
