@@ -68,19 +68,25 @@ def _make_fwd_kernel(renorm: bool):
     shift = 0.5 if renorm else 0.0
 
     def kernel(x_ref, ll_ref, lh_ref, hl_ref, hh_ref):
-        v = x_ref[0]                                  # (2TH, W)
+        # fp32 operands: Mosaic rejects bf16 x bf16 -> f32 at HIGHEST
+        # precision ("Bad lhs type"); the upcast is cheap VPU work and
+        # the combiners are exact +/-1 in any dtype
+        v = x_ref[0].astype(jnp.float32)              # (2TH, W)
         th2, w = v.shape
         rp, rm = _combiners(th2 // 2, th2, v.dtype)   # (TH, 2TH)
         cp, cm = _combiners(w // 2, w, v.dtype, transpose=True)  # (W, W/2)
         up = _dot(rp, v, preferred_element_type=jnp.float32)
         um = _dot(rm, v, preferred_element_type=jnp.float32)
-        ll_ref[0] = _dot(up, cp, preferred_element_type=jnp.float32) * 0.5
-        lh_ref[0] = _dot(um, cp, preferred_element_type=jnp.float32) \
-            * scale + shift
-        hl_ref[0] = _dot(up, cm, preferred_element_type=jnp.float32) \
-            * scale + shift
-        hh_ref[0] = _dot(um, cm, preferred_element_type=jnp.float32) \
-            * scale + shift
+        # accumulate fp32, store in the ref dtype (bf16 training inputs)
+        dt = ll_ref.dtype
+        ll_ref[0] = (_dot(up, cp, preferred_element_type=jnp.float32)
+                     * 0.5).astype(dt)
+        lh_ref[0] = (_dot(um, cp, preferred_element_type=jnp.float32)
+                     * scale + shift).astype(dt)
+        hl_ref[0] = (_dot(up, cm, preferred_element_type=jnp.float32)
+                     * scale + shift).astype(dt)
+        hh_ref[0] = (_dot(um, cm, preferred_element_type=jnp.float32)
+                     * scale + shift).astype(dt)
 
     return kernel
 
@@ -90,10 +96,10 @@ def _make_inv_kernel(renorm: bool):
     shift = 0.5 if renorm else 0.0
 
     def kernel(ll_ref, lh_ref, hl_ref, hh_ref, x_ref):
-        ll = ll_ref[0]
-        lh = (lh_ref[0] - shift) * inv_scale
-        hl = (hl_ref[0] - shift) * inv_scale
-        hh = (hh_ref[0] - shift) * inv_scale
+        ll = ll_ref[0].astype(jnp.float32)
+        lh = (lh_ref[0].astype(jnp.float32) - shift) * inv_scale
+        hl = (hl_ref[0].astype(jnp.float32) - shift) * inv_scale
+        hh = (hh_ref[0].astype(jnp.float32) - shift) * inv_scale
         th, w2 = ll.shape
         rp_t, rm_t = _combiners(th, th * 2, ll.dtype, transpose=True)
         cp, cm = _combiners(w2, w2 * 2, ll.dtype)     # (W/2, W)
@@ -101,8 +107,9 @@ def _make_inv_kernel(renorm: bool):
             _dot(hl, cm, preferred_element_type=jnp.float32)
         hi = _dot(lh, cp, preferred_element_type=jnp.float32) + \
             _dot(hh, cm, preferred_element_type=jnp.float32)
-        x_ref[0] = (_dot(rp_t, lo, preferred_element_type=jnp.float32) +
-                    _dot(rm_t, hi, preferred_element_type=jnp.float32)) * 0.5
+        x_ref[0] = ((_dot(rp_t, lo, preferred_element_type=jnp.float32) +
+                     _dot(rm_t, hi, preferred_element_type=jnp.float32))
+                    * 0.5).astype(x_ref.dtype)
 
     return kernel
 

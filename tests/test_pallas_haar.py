@@ -45,3 +45,25 @@ def test_odd_row_tiles(rng):
     ll_ref, hs_ref = _haar_even_afb2d(x)
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), atol=1e-6)
     np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref), atol=1e-6)
+
+
+def test_bf16_inputs(rng):
+    # bf16 activations (bf16 training): outputs keep the input dtype;
+    # the kernel accumulates fp32 and casts at the store (a fp32 store
+    # into a bf16 ref is a Mosaic error — caught on the b16-bf16 bench)
+    x = jnp.asarray(rng.randn(2, 1, 32, 32)).astype(jnp.bfloat16)
+    ll, hs = haar_dwt2_fused(x, True)
+    assert ll.dtype == jnp.bfloat16 and hs.dtype == jnp.bfloat16
+    ll_ref, hs_ref = _haar_even_afb2d(x.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(ll, np.float32),
+                               np.asarray(ll_ref), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(hs, np.float32),
+                               np.asarray(hs_ref * 0.5 + 0.5), atol=2e-2)
+    xr = haar_idwt2_fused(ll, hs, True)
+    assert xr.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(xr, np.float32), np.asarray(
+        x, np.float32), atol=5e-2)
+    # grads flow in bf16 too
+    g = jax.grad(lambda v: jnp.sum(
+        haar_dwt2_fused(v, False)[0].astype(jnp.float32)))(x)
+    assert g.dtype == jnp.bfloat16
