@@ -30,6 +30,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
 
+def _apply_layout(train: bool = False):
+    """Measured-fastest layout (inference: NHWC on TPU; training: NCHW —
+    see resolve_layout), unless --layout NCHW/NHWC overrides."""
+    import sys
+
+    from ficsr_tpu.models.layers import set_layout
+    from ficsr_tpu.train.config import resolve_layout
+
+    override = "auto"
+    if "--layout" in sys.argv:
+        override = sys.argv[sys.argv.index("--layout") + 1]
+    set_layout(resolve_layout(override, train=train))
+
+
 def measure(batch: int, iters: int = 20, dtype=jnp.float32) -> float:
     """Throughput with HONEST device sync.
 
@@ -42,6 +56,7 @@ def measure(batch: int, iters: int = 20, dtype=jnp.float32) -> float:
     from ficsr_tpu.ops.freq import RADII_A, frequency_split
     from ficsr_tpu.train.state import MODELS
 
+    _apply_layout()
     model = MODELS["a2b"]
     x = jnp.zeros((batch, 1, 256, 256), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
@@ -77,6 +92,7 @@ def measure_train(batch: int = 1, iters: int = 20, bf16: bool = False) -> float:
     from ficsr_tpu.train.state import create_train_state
     from ficsr_tpu.train.step import build_train_step
 
+    _apply_layout(train=True)
     cfg = TrainConfig(batchSize=batch, bf16=bf16)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = build_train_step(cfg)
@@ -98,11 +114,17 @@ def main():
 
     platform = jax.devices()[0].platform
     if "--train" in sys.argv:
-        sps = measure_train(batch=1, iters=5 if platform == "cpu" else 20)
+        tb = int(sys.argv[sys.argv.index("--batch") + 1]) \
+            if "--batch" in sys.argv else 1
+        bf16 = "--bf16" in sys.argv
+        sps = measure_train(batch=tb, bf16=bf16,
+                            iters=5 if platform == "cpu" else 20)
         print(json.dumps({
-            "metric": "octa_cyclegan_train_256px_b1",
+            "metric": f"octa_cyclegan_train_256px_b{tb}"
+                      + ("_bf16" if bf16 else ""),
             "value": round(sps, 2),
             "unit": "steps/sec/chip",
+            "ms_per_step": round(1e3 / sps, 1),
             "vs_baseline": None,
             "platform": platform,
         }))

@@ -1,0 +1,215 @@
+#!/usr/bin/env python3
+"""Per-conv-class formulation experiments on the real TPU (honest sync).
+
+The train step's FLOP budget (b16) is dominated by four conv classes
+(reference shapes from model.py:423-442 shallowNet / 444-480 resnet):
+
+  A. 3x3  64->64  @256^2  (shallow_up ResBlocks, 6 convs/forward)
+  B. 3x3 256->256 @ 32^2  (resnet ResBlocks, 16 convs/forward)
+  C. 7x7  64->64  @128^2  (resnet stem+head)
+  D. ConvT 4x4 s2 128->64 @128->256 (shallow_up proj)
+
+For each class this script times candidate formulations in bf16 at
+batch 16 (the BENCH train config) with the device-accumulator sync
+(block_until_ready is a no-op on axon — benchmarks/README.md):
+
+  - nchw:    lax.conv NCHW/OIHW (current model layout)
+  - nhwc:    lax.conv NHWC/HWIO
+  - im2col:  9 shifted slices concat -> one (M,9C)x(9C,Co) dot  [A only]
+  - pad128:  zero-pad channels 64->128 (4x FLOPs, full MXU lanes) [A only]
+
+plus fwd+bwd (grad wrt x and w) for the top contenders, since the
+backward pass has its own conv shapes (transposed/dilated).
+
+Usage: python benchmarks/conv_experiments.py [--iters 30]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+B = 16
+DT = jnp.bfloat16
+
+
+def honest_time(fn, args, iters):
+    acc = jnp.zeros((), jnp.float32)
+    acc = fn(*args, acc)
+    float(acc)  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = fn(*args, acc)
+    float(acc)
+    return (time.perf_counter() - t0) / iters
+
+
+def conv_nchw(x, w, stride=1, pad=1):
+    return lax.conv_general_dilated(
+        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+
+def conv_nhwc(x, w, stride=1, pad=1):
+    return lax.conv_general_dilated(
+        x, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def make_fwd(conv, x, w, **kw):
+    @jax.jit
+    def f(x, w, acc):
+        y = conv(x, w, **kw)
+        return acc + jnp.mean(y.astype(jnp.float32))
+    return f, (x, w)
+
+
+def make_fwdbwd(conv, x, w, **kw):
+    # squared loss: the cotangent 2y/N depends on y, so XLA cannot
+    # const-fold the backward convs (a plain mean's cotangent is a
+    # constant and the bwd pass folds to weight/input sums — measured
+    # 47 "TF/s" artifacts before this fix)
+    def loss(x, w):
+        return jnp.mean(jnp.square(conv(x, w, **kw).astype(jnp.float32)))
+
+    @jax.jit
+    def f(x, w, acc):
+        v, (gx, gw) = jax.value_and_grad(loss, argnums=(0, 1))(x, w)
+        return (acc + v + jnp.mean(gx.astype(jnp.float32))
+                + jnp.mean(gw.astype(jnp.float32)))
+    return f, (x, w)
+
+
+def im2col_conv(x, w):
+    """x: (B,H,W,C) pre-padded by caller? No — pads here. w: (9C, Co)."""
+    b, h, ww, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    cols = jnp.concatenate(
+        [xp[:, dy:dy + h, dx:dx + ww, :] for dy in range(3) for dx in range(3)],
+        axis=-1)  # (B,H,W,9C)
+    return jnp.einsum("bhwk,ko->bhwo", cols, w)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+    it = args.iters
+    key = jax.random.PRNGKey(0)
+    results = {}
+
+    def flops_conv(bsz, h, w, kh, kw, ci, co):
+        return 2 * bsz * h * w * kh * kw * ci * co
+
+    out = os.path.join(os.path.dirname(__file__), "conv_experiments.json")
+    if os.path.isfile(out):  # resume: skip already-measured variants
+        with open(out) as fh:
+            results.update(json.load(fh))
+
+    def record(name, fn_args, fl):
+        if name in results:
+            return
+        dt = honest_time(*fn_args, it)
+        results[name] = {"ms": round(dt * 1e3, 3),
+                         "tflops": round(fl / dt / 1e12, 1)}
+        print(f"{name:34s} {dt*1e3:8.3f} ms  {fl/dt/1e12:6.1f} TF/s",
+              flush=True)
+        with open(out, "w") as fh:
+            json.dump(results, fh, indent=1)
+
+    # ---- class A: 3x3 64->64 @256^2 ----
+    xA = jax.random.normal(key, (B, 64, 256, 256), DT)
+    wA = jax.random.normal(key, (64, 64, 3, 3), DT) * 0.05
+    flA = flops_conv(B, 256, 256, 3, 3, 64, 64)
+    f, a = make_fwd(conv_nchw, xA, wA)
+    record("A.3x3_64_256 nchw fwd", (f, a), flA)
+    xAh = jnp.transpose(xA, (0, 2, 3, 1))
+    wAh = jnp.transpose(wA, (2, 3, 1, 0))
+    f, a = make_fwd(conv_nhwc, xAh, wAh)
+    record("A.3x3_64_256 nhwc fwd", (f, a), flA)
+    wAc = jnp.transpose(wA, (2, 3, 1, 0)).reshape(9 * 64, 64)
+    f, a = make_fwd(im2col_conv, xAh, wAc)
+    record("A.3x3_64_256 im2col fwd", (f, a), flA)
+    # pad128: 128->128 conv whose extra channels are zero
+    xAp = jnp.pad(xAh, ((0, 0), (0, 0), (0, 0), (0, 64)))
+    wAp = jnp.pad(wAh, ((0, 0), (0, 0), (0, 64), (0, 64)))
+    f, a = make_fwd(conv_nhwc, xAp, wAp)
+    record("A.3x3_64_256 pad128-nhwc fwd", (f, a), flA)
+
+    f, a = make_fwdbwd(conv_nchw, xA, wA)
+    record("A.3x3_64_256 nchw fwd+bwd", (f, a), 3 * flA)
+    f, a = make_fwdbwd(conv_nhwc, xAh, wAh)
+    record("A.3x3_64_256 nhwc fwd+bwd", (f, a), 3 * flA)
+    f, a = make_fwdbwd(im2col_conv, xAh, wAc)
+    record("A.3x3_64_256 im2col fwd+bwd", (f, a), 3 * flA)
+
+    # ---- class B: 3x3 256->256 @32^2 ----
+    xB = jax.random.normal(key, (B, 256, 32, 32), DT)
+    wB = jax.random.normal(key, (256, 256, 3, 3), DT) * 0.02
+    flB = flops_conv(B, 32, 32, 3, 3, 256, 256)
+    f, a = make_fwd(conv_nchw, xB, wB)
+    record("B.3x3_256_32 nchw fwd", (f, a), flB)
+    xBh = jnp.transpose(xB, (0, 2, 3, 1))
+    wBh = jnp.transpose(wB, (2, 3, 1, 0))
+    f, a = make_fwd(conv_nhwc, xBh, wBh)
+    record("B.3x3_256_32 nhwc fwd", (f, a), flB)
+    f, a = make_fwdbwd(conv_nchw, xB, wB)
+    record("B.3x3_256_32 nchw fwd+bwd", (f, a), 3 * flB)
+    f, a = make_fwdbwd(conv_nhwc, xBh, wBh)
+    record("B.3x3_256_32 nhwc fwd+bwd", (f, a), 3 * flB)
+
+    # ---- class C: 7x7 64->64 @128^2 (reflection-padded in model; plain
+    # pad here — the pad is not the bottleneck) ----
+    xC = jax.random.normal(key, (B, 64, 128, 128), DT)
+    wC = jax.random.normal(key, (64, 64, 7, 7), DT) * 0.02
+    flC = flops_conv(B, 128, 128, 7, 7, 64, 64)
+    f, a = make_fwd(conv_nchw, xC, wC, pad=3)
+    record("C.7x7_64_128 nchw fwd", (f, a), flC)
+    xCh = jnp.transpose(xC, (0, 2, 3, 1))
+    wCh = jnp.transpose(wC, (2, 3, 1, 0))
+    f, a = make_fwd(conv_nhwc, xCh, wCh, pad=3)
+    record("C.7x7_64_128 nhwc fwd", (f, a), flC)
+    f, a = make_fwdbwd(conv_nchw, xC, wC, pad=3)
+    record("C.7x7_64_128 nchw fwd+bwd", (f, a), 3 * flC)
+    f, a = make_fwdbwd(conv_nhwc, xCh, wCh, pad=3)
+    record("C.7x7_64_128 nhwc fwd+bwd", (f, a), 3 * flC)
+
+    # ---- class D: ConvT 4x4 s2 128->64, 128^2 -> 256^2 ----
+    def convt_nchw(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), ((2, 1), (2, 1)), lhs_dilation=(2, 2),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+    def convt_nhwc(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), ((2, 1), (2, 1)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    xD = jax.random.normal(key, (B, 128, 128, 128), DT)
+    wD = jax.random.normal(key, (64, 128, 4, 4), DT) * 0.02
+    flD = flops_conv(B, 256, 256, 4, 4, 128, 64) // 4  # each output sees 2x2 taps avg
+    f, a = make_fwd(convt_nchw, xD, wD)
+    record("D.convT4x4s2 nchw fwd", (f, a), flD)
+    xDh = jnp.transpose(xD, (0, 2, 3, 1))
+    wDh = jnp.transpose(wD, (2, 3, 1, 0))
+    f, a = make_fwd(convt_nhwc, xDh, wDh)
+    record("D.convT4x4s2 nhwc fwd", (f, a), flD)
+    f, a = make_fwdbwd(convt_nchw, xD, wD)
+    record("D.convT4x4s2 nchw fwd+bwd", (f, a), 3 * flD)
+    f, a = make_fwdbwd(convt_nhwc, xDh, wDh)
+    record("D.convT4x4s2 nhwc fwd+bwd", (f, a), 3 * flD)
+
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Honest component breakdown of the b16-bf16 train step (466 ms).
+
+Measures each piece of the step as its own jitted program with the
+device-accumulator sync, to locate where the 466 ms goes before
+attempting any further kernel work:
+
+  freq_split x1, G fwd (a2b/b2a), G fwd+bwd, D fwd, D fwd+bwd,
+  full g_loss fwd+bwd, full d_loss fwd+bwd, adamw update alone.
+
+Usage: python benchmarks/step_profile.py [--batch 16] [--iters 20]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def honest(fn, args, iters):
+    acc = jnp.zeros((), jnp.float32)
+    acc = fn(*args, acc)
+    float(acc)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        acc = fn(*args, acc)
+    float(acc)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--fp32", action="store_true")
+    args = ap.parse_args()
+    b, it = args.batch, args.iters
+    dt = jnp.float32 if args.fp32 else jnp.bfloat16
+
+    from ficsr_tpu.ops.freq import RADII_A, frequency_split
+    from ficsr_tpu.train.config import TrainConfig
+    from ficsr_tpu.train.state import MODELS, create_train_state, \
+        make_optimizer
+    from ficsr_tpu.train.step import build_loss_fns
+
+    cfg = TrainConfig(batchSize=b, bf16=not args.fp32)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    g_loss_fn, d_loss_fn = build_loss_fns(cfg)
+    tx = make_optimizer()
+
+    ra = jax.random.normal(jax.random.PRNGKey(1), (b, 1, 256, 256))
+    rb = jax.random.normal(jax.random.PRNGKey(2), (b, 1, 256, 256))
+    lf, hf = frequency_split(ra, *RADII_A)
+    lf, hf = lf.astype(dt), hf.astype(dt)
+
+    res = {}
+
+    def rec(name, ms):
+        res[name] = round(ms, 2)
+        print(f"{name:28s} {ms:8.2f} ms", flush=True)
+
+    @jax.jit
+    def f_split(x, acc):
+        a, bb = frequency_split(x, *RADII_A)
+        return acc + jnp.mean(a) + jnp.mean(bb)
+    rec("freq_split", honest(f_split, (ra,), it))
+
+    a2b = MODELS["a2b"]
+    va = {"params": state.g_params["a2b"], "batch_stats": state.g_stats["a2b"]}
+
+    @jax.jit
+    def f_fwd(lf, hf, acc):
+        out, _ = a2b.apply(va, lf, hf, train=True, mutable=["batch_stats"])
+        return acc + jnp.mean(out[2].astype(jnp.float32))
+    rec("a2b fwd (train BN)", honest(f_fwd, (lf, hf), it))
+
+    @jax.jit
+    def f_fwdbwd(lf, hf, acc):
+        def loss(p):
+            out, _ = a2b.apply({"params": p, "batch_stats": va["batch_stats"]},
+                               lf, hf, train=True, mutable=["batch_stats"])
+            return jnp.mean(jnp.square(out[2].astype(jnp.float32)))
+        v, g = jax.value_and_grad(loss)(va["params"])
+        return acc + v + sum(jnp.mean(x) for x in jax.tree.leaves(g)[:3])
+    rec("a2b fwd+bwd", honest(f_fwdbwd, (lf, hf), it))
+
+    da = MODELS["da"]
+    vd = {"params": state.d_params["da"], "batch_stats": state.d_stats["da"]}
+    img = ra.astype(dt)
+
+    @jax.jit
+    def d_fwd(x, acc):
+        out, _ = da.apply(vd, x, train=True, mutable=["batch_stats"])
+        return acc + jnp.mean(out.astype(jnp.float32))
+    rec("D fwd", honest(d_fwd, (img,), it))
+
+    @jax.jit
+    def d_fwdbwd(x, acc):
+        def loss(p):
+            out, _ = da.apply({"params": p, "batch_stats": vd["batch_stats"]},
+                              x, train=True, mutable=["batch_stats"])
+            return jnp.mean(jnp.square(out.astype(jnp.float32)))
+        v, g = jax.value_and_grad(loss)(vd["params"])
+        return acc + v + sum(jnp.mean(x) for x in jax.tree.leaves(g)[:3])
+    rec("D fwd+bwd", honest(d_fwdbwd, (img,), it))
+
+    @jax.jit
+    def g_phase(gp, acc):
+        (l, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            gp, state.g_stats, state.d_params, state.d_stats, ra, rb)
+        return acc + l + sum(jnp.mean(x) for x in jax.tree.leaves(grads)[:3])
+    rec("G phase (loss fwd+bwd)", honest(g_phase, (state.g_params,), it))
+
+    @jax.jit
+    def d_phase(dp, acc):
+        (l, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            dp, state.d_stats, ra, rb, ra, rb)
+        return acc + l + sum(jnp.mean(x) for x in jax.tree.leaves(grads)[:3])
+    rec("D phase (loss fwd+bwd)", honest(d_phase, (state.d_params,), it))
+
+    zeros_g = jax.tree.map(jnp.zeros_like, state.g_params)
+
+    @jax.jit
+    def opt_g(gp, acc):
+        upd, _ = tx.update(zeros_g, state.g_opt, gp)
+        import optax
+        newp = optax.apply_updates(gp, upd)
+        return acc + jnp.mean(jax.tree.leaves(newp)[0])
+    rec("adamw G update", honest(opt_g, (state.g_params,), it))
+
+    out = os.path.join(os.path.dirname(__file__),
+                       f"step_profile_b{b}_{'fp32' if args.fp32 else 'bf16'}.json")
+    with open(out, "w") as fh:
+        json.dump(res, fh, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

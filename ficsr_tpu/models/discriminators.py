@@ -18,7 +18,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ficsr_tpu.models.layers import BatchNorm2d, Conv2d, leaky_relu
+from ficsr_tpu.models.layers import (
+    BatchNorm2d, Conv2d, leaky_relu, spatial_axes, to_internal)
 from ficsr_tpu.wavelets import dwt2
 
 __all__ = ["PatchGAN", "FSDiscriminator", "FSDiscriminatorA",
@@ -112,15 +113,19 @@ class FSDiscriminator(nn.Module):
                 "cs='each' yields a 5-tuple the discriminator forward "
                 "cannot consume (dead in the reference too); call "
                 "filter_wavelet(x, cs='each') directly")
+        # filter_wavelet stays NCHW (the wavelet library's layout);
+        # the PatchGAN towers run in the active activation layout
         dwt_in, x = filter_wavelet(x, cs, self.sum_band)
+        dwt_in, x = to_internal(dwt_in), to_internal(x)
         dwt_nc = 3 if cs == "cat" else 1
+        sp = spatial_axes()
 
         spatial = PatchGAN(input_nc=1, n_layers=self.n_layers,
                            name="net")(x, train)
-        x_d = jnp.mean(spatial, axis=(2, 3))                # global avg pool
+        x_d = jnp.mean(spatial, axis=sp)                    # global avg pool
         dwt_out = PatchGAN(input_nc=dwt_nc, n_layers=self.n_layers,
                            name="net_dwt")(dwt_in, train)
-        dwt_d = jnp.mean(dwt_out, axis=(2, 3))
+        dwt_d = jnp.mean(dwt_out, axis=sp)
         return jnp.ravel(0.7 * x_d + 0.3 * dwt_d)           # model.py:164,217
 
 

@@ -32,8 +32,11 @@ from ficsr_tpu.models.layers import (
     BatchNorm2d,
     Conv2d,
     ConvTranspose2d,
+    channel_axis,
+    from_internal,
     leaky_relu,
     reflection_pad2d,
+    to_internal,
 )
 
 __all__ = [
@@ -147,22 +150,29 @@ class _ShallowFrequencyEncoder(nn.Module):
 
 
 class NetworkA2B(nn.Module):
-    """LR->HR generator. __call__(lf, hf) -> (lf_feature, hf_feature, sr)."""
+    """LR->HR generator. __call__(lf, hf) -> (lf_feature, hf_feature, sr).
+
+    Inputs/outputs are NCHW regardless of the active activation layout
+    (layers.set_layout) — internal tensors are transposed at this
+    boundary only."""
 
     @nn.compact
     def __call__(self, lf: jnp.ndarray, hf: jnp.ndarray, train: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        lf, hf = to_internal(lf), to_internal(hf)
+        cax = channel_axis()
         lf_feature = _ShallowFrequencyEncoder(name="shallow_frequency")(lf, train)
         hf_in = Conv2d(1, 64, 4, 2, 1, use_bias=False, name="A2B_input")(hf)
         res = ResnetGenerator(64, 64, n_blocks=8, name="resnet")(hf_in, train)
-        fused = jnp.concatenate([hf_in, res], axis=1)
+        fused = jnp.concatenate([hf_in, res], axis=cax)
         h = nn.relu(fused)
         h = Conv2d(128, 64, 3, 1, 1, use_bias=False, name="skip")(h)
         hf_feature = BatchNorm2d(64, name="skip_bn")(h, train)
         sr = ShallowNet(128, 1, up=True, name="shallow_up")(
-            jnp.concatenate([lf_feature, hf_feature], axis=1), train
+            jnp.concatenate([lf_feature, hf_feature], axis=cax), train
         )
-        return lf_feature, hf_feature, sr
+        return (from_internal(lf_feature), from_internal(hf_feature),
+                from_internal(sr))
 
 
 class NetworkB2A(nn.Module):
@@ -171,14 +181,17 @@ class NetworkB2A(nn.Module):
     @nn.compact
     def __call__(self, hf: jnp.ndarray, lf: jnp.ndarray, train: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        hf, lf = to_internal(hf), to_internal(lf)
         hf_feature = _ShallowFrequencyEncoder(name="shallow_frequency")(hf, train)
         lf_in = Conv2d(1, 128, 4, 2, 1, use_bias=False, name="B2A_input")(lf)
         lf_feature = ResnetGenerator(128, 64, n_blocks=8, name="resnet")(
             lf_in, train)
         lr = ShallowNet(128, 1, up=True, name="shallow_up")(
-            jnp.concatenate([hf_feature, lf_feature], axis=1), train
+            jnp.concatenate([hf_feature, lf_feature], axis=channel_axis()),
+            train
         )
-        return hf_feature, lf_feature, lr
+        return (from_internal(hf_feature), from_internal(lf_feature),
+                from_internal(lr))
 
 
 class UnetSkipConnectionBlock(nn.Module):
@@ -211,7 +224,7 @@ class UnetSkipConnectionBlock(nn.Module):
             h = ConvTranspose2d(self.inner_nc, self.outer_nc, 4, 2, 1,
                                 use_bias=True, name="upconv")(h)
             h = BatchNorm2d(self.outer_nc, name="upnorm")(h, train)
-            return jnp.concatenate([x, h], axis=1)
+            return jnp.concatenate([x, h], axis=channel_axis())
         h = leaky_relu(x, 0.2)
         h = Conv2d(input_nc, self.inner_nc, 4, 2, 1, use_bias=True,
                    name="downconv")(h)
@@ -223,7 +236,7 @@ class UnetSkipConnectionBlock(nn.Module):
         h = BatchNorm2d(self.outer_nc, name="upnorm")(h, train)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=deterministic)(h)
-        return jnp.concatenate([x, h], axis=1)
+        return jnp.concatenate([x, h], axis=channel_axis())
 
 
 class UnetGenerator(nn.Module):
@@ -258,4 +271,4 @@ class UnetGenerator(nn.Module):
         block = UnetSkipConnectionBlock(
             self.output_nc, ngf, input_nc=self.input_nc, submodule=block,
             outermost=True, name="outer")
-        return block(x, train, deterministic)
+        return from_internal(block(to_internal(x), train, deterministic))

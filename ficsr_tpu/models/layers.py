@@ -1,14 +1,30 @@
-"""Torch-semantics conv/norm primitives in Flax (NCHW, OIHW kernels).
+"""Torch-semantics conv/norm primitives in Flax (OIHW kernels, NCHW or
+NHWC activations).
 
-Keeping the reference's tensor layout and kernel shape at the module
-boundary makes PyTorch weight conversion a pure tree re-keying (no
-transposes), while XLA still relayouts internally for the TPU conv
-engine.  Initializers replicate `weights_init_normal`
+Parameter shapes always stay torch-shaped (OIHW), so PyTorch weight
+conversion is a pure tree re-keying and checkpoints are layout-free.
+The *activation* layout inside the models is switchable:
+
+  * ``NCHW`` (default) — the reference's layout; what every test and
+    the CPU path uses.
+  * ``NHWC`` — channels-last.  Measured on TPU v5e (bf16, b16; see
+    benchmarks/conv_experiments.json): 1.57x faster forward on the
+    dominant 3x3/64ch/256^2 class and 1.42x on the 7x7 stems, neutral
+    for fwd+bwd — so it is the inference-layout default on TPU.
+
+The network-level modules (NetworkA2B/B2A, FSDiscriminator, PatchGAN,
+UnetGenerator) keep an NCHW *boundary* regardless: inputs/outputs are
+transposed at entry/exit via `to_internal`/`from_internal`, so callers,
+losses, parity tests, and converters never see the internal layout.
+
+Initializers replicate `weights_init_normal`
 (`/root/reference/utils.py:63-69`): conv kernels ~ N(0, 0.02), BatchNorm
 scale ~ N(1, 0.02), biases zero.
 """
 
 from __future__ import annotations
+
+import contextlib
 
 import flax.linen as nn
 import jax
@@ -23,7 +39,61 @@ __all__ = [
     "bn_scale_init",
     "reflection_pad2d",
     "leaky_relu",
+    "set_layout",
+    "get_layout",
+    "use_layout",
+    "channel_axis",
+    "spatial_axes",
+    "to_internal",
+    "from_internal",
 ]
+
+_LAYOUT = "NCHW"
+
+
+def set_layout(layout: str) -> None:
+    """Set the global activation layout ('NCHW' or 'NHWC').
+
+    Call before building/compiling any step or inference function —
+    jitted programs bake the layout in at trace time.
+    """
+    global _LAYOUT
+    if layout not in ("NCHW", "NHWC"):
+        raise ValueError(f"layout must be NCHW or NHWC, got {layout!r}")
+    _LAYOUT = layout
+
+
+def get_layout() -> str:
+    return _LAYOUT
+
+
+@contextlib.contextmanager
+def use_layout(layout: str):
+    """Scoped layout override (tests)."""
+    prev = _LAYOUT
+    set_layout(layout)
+    try:
+        yield
+    finally:
+        set_layout(prev)
+
+
+def channel_axis() -> int:
+    return 1 if _LAYOUT == "NCHW" else 3
+
+
+def spatial_axes() -> tuple:
+    return (2, 3) if _LAYOUT == "NCHW" else (1, 2)
+
+
+def to_internal(x: jnp.ndarray) -> jnp.ndarray:
+    """NCHW boundary tensor -> internal activation layout."""
+    return x if _LAYOUT == "NCHW" else jnp.transpose(x, (0, 2, 3, 1))
+
+
+def from_internal(x: jnp.ndarray) -> jnp.ndarray:
+    """Internal activation layout -> NCHW boundary tensor."""
+    return x if _LAYOUT == "NCHW" else jnp.transpose(x, (0, 3, 1, 2))
 
 
 def conv_init(key, shape, dtype=jnp.float32):
@@ -37,8 +107,12 @@ def bn_scale_init(key, shape, dtype=jnp.float32):
 
 
 def reflection_pad2d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """nn.ReflectionPad2d equivalent for NCHW."""
-    return jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    """nn.ReflectionPad2d equivalent (layout-aware)."""
+    if _LAYOUT == "NCHW":
+        widths = ((0, 0), (0, 0), (pad, pad), (pad, pad))
+    else:
+        widths = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    return jnp.pad(x, widths, mode="reflect")
 
 
 def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
@@ -62,15 +136,22 @@ class Conv2d(nn.Module):
             "weight", conv_init,
             (self.out_channels, self.in_channels, k, k),
         )
+        w = w.astype(x.dtype)
+        if _LAYOUT == "NHWC":
+            w = jnp.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+            dn = ("NHWC", "HWIO", "NHWC")
+        else:
+            dn = ("NCHW", "OIHW", "NCHW")
         y = lax.conv_general_dilated(
-            x, w.astype(x.dtype),
+            x, w,
             window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            dimension_numbers=dn,
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-            y = y + b.astype(x.dtype)[None, :, None, None]
+            b = b.astype(x.dtype)
+            y = y + (b if _LAYOUT == "NHWC" else b[None, :, None, None])
         return y
 
 
@@ -100,18 +181,25 @@ class ConvTranspose2d(nn.Module):
         )
         # (I, O, kh, kw) -> (O, I, kh, kw), spatially flipped
         w_t = jnp.transpose(w, (1, 0, 2, 3))[:, :, ::-1, ::-1]
+        w_t = w_t.astype(x.dtype)
+        if _LAYOUT == "NHWC":
+            w_t = jnp.transpose(w_t, (2, 3, 1, 0))  # OIHW -> HWIO
+            dn = ("NHWC", "HWIO", "NHWC")
+        else:
+            dn = ("NCHW", "OIHW", "NCHW")
         lo = k - 1 - self.padding
         hi = k - 1 - self.padding + self.output_padding
         y = lax.conv_general_dilated(
-            x, w_t.astype(x.dtype),
+            x, w_t,
             window_strides=(1, 1),
             padding=((lo, hi), (lo, hi)),
             lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            dimension_numbers=dn,
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-            y = y + b.astype(x.dtype)[None, :, None, None]
+            b = b.astype(x.dtype)
+            y = y + (b if _LAYOUT == "NHWC" else b[None, :, None, None])
         return y
 
 
@@ -141,11 +229,12 @@ class BatchNorm2d(nn.Module):
             "batch_stats", "running_var",
             lambda: jnp.ones((self.num_features,), jnp.float32),
         )
+        red = (0, 2, 3) if _LAYOUT == "NCHW" else (0, 1, 2)
         if train:
             x32 = x.astype(jnp.float32)
-            mean = jnp.mean(x32, axis=(0, 2, 3))
-            var = jnp.var(x32, axis=(0, 2, 3))
-            n = x.shape[0] * x.shape[2] * x.shape[3]
+            mean = jnp.mean(x32, axis=red)
+            var = jnp.var(x32, axis=red)
+            n = x.shape[red[0]] * x.shape[red[1]] * x.shape[red[2]]
             if not self.is_initializing():
                 # torch tracks the *unbiased* variance in running stats
                 unbiased = var * (n / max(n - 1, 1))
@@ -156,7 +245,11 @@ class BatchNorm2d(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = lax.rsqrt(var + self.eps) * scale
-        y = (x - mean[None, :, None, None].astype(x.dtype)) * \
-            inv[None, :, None, None].astype(x.dtype) + \
-            bias[None, :, None, None].astype(x.dtype)
+        if _LAYOUT == "NCHW":
+            bshape = (1, self.num_features, 1, 1)
+        else:
+            bshape = (1, 1, 1, self.num_features)
+        y = (x - mean.reshape(bshape).astype(x.dtype)) * \
+            inv.reshape(bshape).astype(x.dtype) + \
+            bias.reshape(bshape).astype(x.dtype)
         return y

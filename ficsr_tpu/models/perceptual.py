@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ficsr_tpu.models.layers import Conv2d
+from ficsr_tpu.models.layers import Conv2d, use_layout
 from ficsr_tpu.models.losses import mse_loss
 
 __all__ = ["VGG19Features", "PerceptualLoss", "load_torchvision_features"]
@@ -50,15 +50,19 @@ class VGG19Features(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = x
-        for i, (idx, cin, cout, pool) in enumerate(_CONV_PLAN):
-            if pool:
-                h = _maxpool2(h)
-            if i > 0:
-                h = nn.relu(h)
-            h = Conv2d(cin, cout, 3, 1, 1, use_bias=True,
-                       name=f"conv{idx}")(h)
-        return h
+        # always NCHW inside: this path is inactive in training (loss
+        # commented out in the reference) so the layout switch brings
+        # nothing, and _maxpool2 is NCHW
+        with use_layout("NCHW"):
+            h = x
+            for i, (idx, cin, cout, pool) in enumerate(_CONV_PLAN):
+                if pool:
+                    h = _maxpool2(h)
+                if i > 0:
+                    h = nn.relu(h)
+                h = Conv2d(cin, cout, 3, 1, 1, use_bias=True,
+                           name=f"conv{idx}")(h)
+            return h
 
 
 def load_torchvision_features(state_dict: Mapping[str, object]) -> dict:

@@ -16,7 +16,8 @@ import argparse
 import dataclasses
 from dataclasses import dataclass
 
-__all__ = ["TrainConfig", "parse_args", "str2bool"]
+__all__ = ["TrainConfig", "parse_args", "str2bool", "resolve_layout",
+           "apply_layout"]
 
 
 def str2bool(v) -> bool:
@@ -68,10 +69,39 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 50
     replay_buffer_size: int = 50
+    # activation layout inside the models: 'auto' = NHWC on TPU (measured
+    # faster — benchmarks/conv_experiments.json), NCHW elsewhere.
+    # Parameters/checkpoints are layout-free (stored OIHW).
+    layout: str = "auto"
 
     @property
     def size_a_up(self) -> int:
         return self.sizeA * 2
+
+
+def resolve_layout(layout: str = "auto", train: bool = False) -> str:
+    """Resolve 'auto' to the measured-fastest activation layout.
+
+    Inference: NHWC on TPU (806 vs 700 img/s side-by-side, +15%).
+    Training: NCHW everywhere — fwd+bwd is layout-neutral per conv and
+    the full step measured neutral at b16-bf16 (466.5 vs 466.9 ms) but
+    23% slower NHWC at b1-fp32 (97.9 vs 79.7 ms).  All numbers v5e,
+    honest sync — benchmarks/README.md.
+    """
+    if layout != "auto":
+        return layout
+    if train:
+        return "NCHW"
+    import jax
+    return "NHWC" if jax.default_backend() == "tpu" else "NCHW"
+
+
+def apply_layout(config: "TrainConfig") -> str:
+    """Resolve and activate the configured activation layout (training)."""
+    from ficsr_tpu.models.layers import set_layout
+    resolved = resolve_layout(config.layout, train=True)
+    set_layout(resolved)
+    return resolved
 
 
 def parse_args(argv=None) -> TrainConfig:

@@ -32,6 +32,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ficsr_tpu.models.layers import set_layout
+    from ficsr_tpu.train.config import resolve_layout
+    set_layout(resolve_layout(train=True))  # training: NCHW (measured)
+
     from ficsr_tpu.data.datasets import ImageDataset6mm
     from ficsr_tpu.data.pipeline import normalize, paired_random_crop, to_unit
     from ficsr_tpu.train import evaluate

@@ -43,6 +43,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ficsr_tpu.models.layers import set_layout
+    from ficsr_tpu.train.config import resolve_layout
+    set_layout(resolve_layout())  # NHWC on TPU (faster forwards)
+
     from ficsr_tpu.data.datasets import load_grayscale
     from ficsr_tpu.data.pipeline import center_crop, normalize, to_unit
     from ficsr_tpu.train import evaluate
