@@ -14,7 +14,10 @@ Usage: python benchmarks/step_profile.py [--batch 16] [--iters 20]
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
