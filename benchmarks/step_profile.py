@@ -28,6 +28,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
 
+def tree_acc(tree):
+    """Fold EVERY leaf into the accumulator.  Consuming only a few
+    leaves lets XLA dead-code-eliminate the weight-gradient
+    contractions for the rest of the tree, silently under-reporting
+    backward cost (r2 finding: components summed to 261 ms vs a 466 ms
+    full step until this was fixed)."""
+    return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(tree))
+
+
 def honest(fn, args, iters):
     acc = jnp.zeros((), jnp.float32)
     acc = fn(*args, acc)
@@ -44,6 +53,13 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize generator forwards")
+    ap.add_argument("--seq", action="store_true",
+                    help="sequential (non-fused) forward schedule")
+    ap.add_argument("--phases-only", action="store_true",
+                    help="skip the per-component micro rows; measure "
+                         "G phase / D phase / replay / full step only")
     args = ap.parse_args()
     b, it = args.batch, args.iters
     dt = jnp.float32 if args.fp32 else jnp.bfloat16
@@ -54,7 +70,8 @@ def main():
         make_optimizer
     from ficsr_tpu.train.step import build_loss_fns
 
-    cfg = TrainConfig(batchSize=b, bf16=not args.fp32)
+    cfg = TrainConfig(batchSize=b, bf16=not args.fp32, remat=args.remat,
+                      fused_streams=not args.seq)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     g_loss_fn, d_loss_fn = build_loss_fns(cfg)
     tx = make_optimizer()
@@ -70,11 +87,13 @@ def main():
         res[name] = round(ms, 2)
         print(f"{name:28s} {ms:8.2f} ms", flush=True)
 
+    micro = not args.phases_only
+
     @jax.jit
     def f_split(x, acc):
         a, bb = frequency_split(x, *RADII_A)
         return acc + jnp.mean(a) + jnp.mean(bb)
-    rec("freq_split", honest(f_split, (ra,), it))
+    micro and rec("freq_split", honest(f_split, (ra,), it))
 
     a2b = MODELS["a2b"]
     va = {"params": state.g_params["a2b"], "batch_stats": state.g_stats["a2b"]}
@@ -83,7 +102,7 @@ def main():
     def f_fwd(lf, hf, acc):
         out, _ = a2b.apply(va, lf, hf, train=True, mutable=["batch_stats"])
         return acc + jnp.mean(out[2].astype(jnp.float32))
-    rec("a2b fwd (train BN)", honest(f_fwd, (lf, hf), it))
+    micro and rec("a2b fwd (train BN)", honest(f_fwd, (lf, hf), it))
 
     @jax.jit
     def f_fwdbwd(lf, hf, acc):
@@ -92,8 +111,8 @@ def main():
                                lf, hf, train=True, mutable=["batch_stats"])
             return jnp.mean(jnp.square(out[2].astype(jnp.float32)))
         v, g = jax.value_and_grad(loss)(va["params"])
-        return acc + v + sum(jnp.mean(x) for x in jax.tree.leaves(g)[:3])
-    rec("a2b fwd+bwd", honest(f_fwdbwd, (lf, hf), it))
+        return acc + v + tree_acc(g)
+    micro and rec("a2b fwd+bwd", honest(f_fwdbwd, (lf, hf), it))
 
     da = MODELS["da"]
     vd = {"params": state.d_params["da"], "batch_stats": state.d_stats["da"]}
@@ -103,7 +122,7 @@ def main():
     def d_fwd(x, acc):
         out, _ = da.apply(vd, x, train=True, mutable=["batch_stats"])
         return acc + jnp.mean(out.astype(jnp.float32))
-    rec("D fwd", honest(d_fwd, (img,), it))
+    micro and rec("D fwd", honest(d_fwd, (img,), it))
 
     @jax.jit
     def d_fwdbwd(x, acc):
@@ -112,21 +131,21 @@ def main():
                               x, train=True, mutable=["batch_stats"])
             return jnp.mean(jnp.square(out.astype(jnp.float32)))
         v, g = jax.value_and_grad(loss)(vd["params"])
-        return acc + v + sum(jnp.mean(x) for x in jax.tree.leaves(g)[:3])
-    rec("D fwd+bwd", honest(d_fwdbwd, (img,), it))
+        return acc + v + tree_acc(g)
+    micro and rec("D fwd+bwd", honest(d_fwdbwd, (img,), it))
 
     @jax.jit
     def g_phase(gp, acc):
         (l, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             gp, state.g_stats, state.d_params, state.d_stats, ra, rb)
-        return acc + l + sum(jnp.mean(x) for x in jax.tree.leaves(grads)[:3])
+        return acc + l + tree_acc(grads)
     rec("G phase (loss fwd+bwd)", honest(g_phase, (state.g_params,), it))
 
     @jax.jit
     def d_phase(dp, acc):
         (l, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             dp, state.d_stats, ra, rb, ra, rb)
-        return acc + l + sum(jnp.mean(x) for x in jax.tree.leaves(grads)[:3])
+        return acc + l + tree_acc(grads)
     rec("D phase (loss fwd+bwd)", honest(d_phase, (state.d_params,), it))
 
     zeros_g = jax.tree.map(jnp.zeros_like, state.g_params)
@@ -136,11 +155,32 @@ def main():
         upd, _ = tx.update(zeros_g, state.g_opt, gp)
         import optax
         newp = optax.apply_updates(gp, upd)
-        return acc + jnp.mean(jax.tree.leaves(newp)[0])
+        return acc + tree_acc(newp)
     rec("adamw G update", honest(opt_g, (state.g_params,), it))
 
-    out = os.path.join(os.path.dirname(__file__),
-                       f"step_profile_b{b}_{'fp32' if args.fp32 else 'bf16'}.json")
+    from ficsr_tpu.train.replay import push_and_pop
+    k = jax.random.PRNGKey(3)
+
+    @jax.jit
+    def replay(buf, x, acc):
+        nb, out = push_and_pop(buf, x, k)
+        return acc + jnp.sum(out) + jnp.sum(nb.data[0])
+    rec("replay push_and_pop", honest(replay, (state.buf_a, ra), it))
+
+    from ficsr_tpu.train.step import build_train_step
+    step = build_train_step(cfg, donate=False)
+    st = state
+
+    def full(st_unused, acc):
+        nonlocal st
+        st, m = step(st, ra, rb, 1.3e-4)
+        return acc + m["loss_G"]
+    rec("FULL train step", honest(full, (None,), it))
+
+    tag = (f"b{b}_{'fp32' if args.fp32 else 'bf16'}"
+           + ("_remat" if args.remat else "")
+           + ("_seq" if args.seq else ""))
+    out = os.path.join(os.path.dirname(__file__), f"step_profile_{tag}.json")
     with open(out, "w") as fh:
         json.dump(res, fh, indent=1)
     print("wrote", out)

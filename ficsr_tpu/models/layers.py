@@ -42,6 +42,8 @@ __all__ = [
     "set_layout",
     "get_layout",
     "use_layout",
+    "use_streams",
+    "get_streams",
     "channel_axis",
     "spatial_axes",
     "to_internal",
@@ -76,6 +78,36 @@ def use_layout(layout: str):
         yield
     finally:
         set_layout(prev)
+
+
+_STREAMS = 1
+
+
+def get_streams() -> int:
+    return _STREAMS
+
+
+@contextlib.contextmanager
+def use_streams(n: int):
+    """Trace-scoped stream count for stream-batched forwards.
+
+    Inside this context a batch axis of size ``n*N`` is treated as ``n``
+    independent streams of ``N`` samples stacked along the batch axis.
+    Convolutions and elementwise ops are naturally per-sample; only
+    BatchNorm2d changes behavior: train-mode statistics are computed
+    *per stream* and running stats are updated sequentially in stream
+    order — making one batched apply bit-identical (values, gradients,
+    and running-stat threading) to ``n`` sequential applies.  This is
+    how train/step.py folds the reference's six generator passes
+    (`/root/reference/train.py:170-214`) into four larger XLA convs.
+    """
+    global _STREAMS
+    prev = _STREAMS
+    _STREAMS = int(n)
+    try:
+        yield
+    finally:
+        _STREAMS = prev
 
 
 def channel_axis() -> int:
@@ -230,6 +262,43 @@ class BatchNorm2d(nn.Module):
             lambda: jnp.ones((self.num_features,), jnp.float32),
         )
         red = (0, 2, 3) if _LAYOUT == "NCHW" else (0, 1, 2)
+        s = _STREAMS if train else 1
+        if train and s > 1:
+            # Stream-batched call: stats per stream (see use_streams).
+            # The 5-D view exists only under the (small-output) stat
+            # reductions; normalization stays 4-D with per-sample (N,C)
+            # stats — a 5-D normalize costs XLA a re-laid-out copy of
+            # the activation (measured: OOM at b16-bf16).
+            if x.shape[0] % s:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by {s} streams")
+            per = x.shape[0] // s
+            xs = x.reshape((s, per) + x.shape[1:])
+            sred = tuple(a + 1 for a in red)
+            x32 = xs.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=sred)        # (s, C)
+            var = jnp.var(x32, axis=sred)          # (s, C)
+            n = xs.shape[sred[0]] * xs.shape[sred[1]] * xs.shape[sred[2]]
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                rm, rv = ra_mean.value, ra_var.value
+                for i in range(s):  # sequential, reference call order
+                    rm = (1 - self.momentum) * rm + self.momentum * mean[i]
+                    rv = (1 - self.momentum) * rv + self.momentum * unbiased[i]
+                ra_mean.value, ra_var.value = rm, rv
+            inv = lax.rsqrt(var + self.eps) * scale[None]     # (s, C)
+            mean_n = jnp.repeat(mean, per, axis=0)            # (s*N, C)
+            inv_n = jnp.repeat(inv, per, axis=0)              # (s*N, C)
+            if _LAYOUT == "NCHW":
+                mean_n = mean_n[:, :, None, None]
+                inv_n = inv_n[:, :, None, None]
+                bias_b = bias[None, :, None, None]
+            else:
+                mean_n = mean_n[:, None, None, :]
+                inv_n = inv_n[:, None, None, :]
+                bias_b = bias[None, None, None, :]
+            return (x - mean_n.astype(x.dtype)) * inv_n.astype(x.dtype) \
+                + bias_b.astype(x.dtype)
         if train:
             x32 = x.astype(jnp.float32)
             mean = jnp.mean(x32, axis=red)

@@ -61,6 +61,16 @@ class TrainConfig:
     # 6.6 vs 5.8 relative) — default OFF; flip on only if a config
     # OOMs (benchmarks/README.md)
     remat: bool = False
+    # stream-batched forwards: fold the six generator passes into four
+    # (two at 2N batch) and the four D passes into two — bit-identical
+    # semantics via per-stream BatchNorm (models/layers.use_streams).
+    # Measured on v5e (honest sync, donate-off profiler): b1-fp32 full
+    # step 82.7 ms fused vs 70.9 ms sequential (concat/slice stream
+    # boundaries cost more than the larger convs recover — per-sample
+    # conv cost here is batch-independent), and b16-bf16 fused OOMs
+    # (residuals 26.6G vs 15.75G HBM).  Default OFF; kept as an option
+    # because the equivalence is exact and other topologies may differ.
+    fused_streams: bool = False
     d_layers: int = 5              # PatchGAN depth (reference: 5)
     data_parallel: bool = True     # shard the batch over all devices
     output_dir: str = "./output_exp"

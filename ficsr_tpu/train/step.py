@@ -45,11 +45,30 @@ def _apply(model, params, stats, *args, train: bool = True):
 
 
 def generator_forward(g_params, g_stats, real_a, real_b, *, train=True,
-                      remat=False, dtype=jnp.float32):
+                      remat=False, dtype=jnp.float32, fused=True):
     """The six-forward pass block (train.py:170-214).
 
     Returns everything the losses need plus updated BN stats.
+
+    With ``fused=True`` (default) the six sequential generator passes
+    are reorganized into FOUR applications — two of them batched over 2
+    streams via :func:`ficsr_tpu.models.layers.use_streams` — which is
+    bit-identical to the sequential schedule (per-stream BN statistics,
+    running stats threaded in the reference's exact update order) but
+    gives XLA twice-larger convolutions on the critical path and a
+    4-deep instead of 6-deep dependency chain:
+
+      1. a2b on [split(real_A), split(real_B)] -> fake_B, idt_B
+         (s_a updates 1,2)
+      2. b2a on [swap(split(real_A)), split(fake_B)] -> idt_A,
+         recovered_A (s_b updates 1,2)
+      3. b2a on split(real_B) -> fake_A            (s_b update 3)
+      4. a2b on split(fake_A) -> recovered_B       (s_a update 3)
     """
+    if fused:
+        return _generator_forward_fused(
+            g_params, g_stats, real_a, real_b, train=train, remat=remat,
+            dtype=dtype)
     a2b, b2a = MODELS["a2b"], MODELS["b2a"]
     s_a, s_b = g_stats["a2b"], g_stats["b2a"]
 
@@ -98,6 +117,62 @@ def generator_forward(g_params, g_stats, real_a, real_b, *, train=True,
     )
 
 
+def _generator_forward_fused(g_params, g_stats, real_a, real_b, *,
+                             train=True, remat=False, dtype=jnp.float32):
+    """Stream-batched schedule of the six reference passes (see
+    generator_forward docstring).  Every tensor and every running-stat
+    update is bit-identical to the sequential path."""
+    from ficsr_tpu.models.layers import use_streams
+
+    a2b, b2a = MODELS["a2b"], MODELS["b2a"]
+    n = real_a.shape[0]
+
+    def run(model, params, stats, x1, x2, streams):
+        def f(params, stats, x1, x2):
+            with use_streams(streams):
+                return _apply(model, params, stats, x1.astype(dtype),
+                              x2.astype(dtype), train=train)
+        if remat:
+            f = jax.checkpoint(f)
+        return f(params, stats, x1, x2)
+
+    # stage 1: a2b on [split(real_A) -> fake_B | split(real_B) -> idt_B]
+    lf, hf = frequency_split(real_a, *RADII_A)        # train.py:173-175
+    lf3, hf3 = frequency_split(real_b, *RADII_B)      # train.py:197-199
+    (lf_feats, hf_feats, out_a2b), s_a = run(
+        a2b, g_params["a2b"], g_stats["a2b"],
+        jnp.concatenate([lf, lf3]), jnp.concatenate([hf, hf3]), 2)
+    lf_feat_a, hf_feat_a = lf_feats[:n], hf_feats[:n]
+    fake_b, idt_b = out_a2b[:n], out_a2b[n:]
+
+    # stage 2: b2a on [swap(split(real_A)) -> idt_A | split(fake_B) ->
+    # recovered_A] — gradients flow through fake_B's FFT split
+    lf2, hf2 = frequency_split(fake_b.astype(jnp.float32), *RADII_B)
+    (hf_feats2, lf_feats2, out_b2a), s_b = run(
+        b2a, g_params["b2a"], g_stats["b2a"],
+        jnp.concatenate([hf, hf2]), jnp.concatenate([lf, lf2]), 2)
+    idt_a, recovered_a = out_b2a[:n], out_b2a[n:]
+    hf_feat_rec_a = hf_feats2[n:]
+
+    # stage 3: b2a on split(real_B) -> fake_A (train.py:197-200)
+    (hf_feats3, _, fake_a), s_b = run(b2a, g_params["b2a"], s_b, hf3, lf3, 1)
+    hf_feat_b = hf_feats3
+
+    # stage 4: a2b on split(fake_A) -> recovered_B (train.py:211-214)
+    lf4, hf4 = frequency_split(fake_a.astype(jnp.float32), *RADII_A)
+    (_, hf_feat_rec_b, recovered_b), s_a = run(
+        a2b, g_params["a2b"], s_a, lf4, hf4, 1)
+
+    return dict(
+        fake_a=fake_a, fake_b=fake_b,
+        idt_a=idt_a, idt_b=idt_b,
+        recovered_a=recovered_a, recovered_b=recovered_b,
+        hf_feat_a=hf_feat_a, hf_feat_rec_a=hf_feat_rec_a,
+        hf_feat_b=hf_feat_b, hf_feat_rec_b=hf_feat_rec_b,
+        g_stats={"a2b": s_a, "b2a": s_b},
+    )
+
+
 def build_loss_fns(config: TrainConfig):
     """(g_loss_fn, d_loss_fn) for the given config — the exact loss
     surfaces the train step differentiates (exposed for parity tests)."""
@@ -109,7 +184,7 @@ def build_loss_fns(config: TrainConfig):
     def g_loss_fn(g_params, g_stats, d_params, d_stats, real_a, real_b):
         fw = generator_forward(
             g_params, g_stats, real_a, real_b,
-            remat=config.remat, dtype=dtype)
+            remat=config.remat, dtype=dtype, fused=config.fused_streams)
 
         # GAN terms (train.py:221-225); D runs in train mode, its BN
         # stats advance, its params get no gradient (we only diff g)
@@ -153,18 +228,33 @@ def build_loss_fns(config: TrainConfig):
         return loss_g, aux
 
     def d_loss_fn(d_params, d_stats, real_a, real_b, fake_a_pool, fake_b_pool):
-        # D_A: real then buffered fake (train.py:247-254)
-        pred_real_a, s_da = _apply(
-            da, d_params["da"], d_stats["da"], real_a.astype(dtype))
-        pred_fake_a, s_da = _apply(
-            da, d_params["da"], s_da, fake_a_pool.astype(dtype))
+        if config.fused_streams:
+            # one 2-stream apply per discriminator: [real | buffered
+            # fake], BN stats per stream in reference update order
+            from ficsr_tpu.models.layers import use_streams
+            n = real_a.shape[0]
+            with use_streams(2):
+                pred_a, s_da = _apply(
+                    da, d_params["da"], d_stats["da"],
+                    jnp.concatenate([real_a, fake_a_pool]).astype(dtype))
+                pred_b, s_db = _apply(
+                    db, d_params["db"], d_stats["db"],
+                    jnp.concatenate([real_b, fake_b_pool]).astype(dtype))
+            pred_real_a, pred_fake_a = pred_a[:n], pred_a[n:]
+            pred_real_b, pred_fake_b = pred_b[:n], pred_b[n:]
+        else:
+            # D_A: real then buffered fake (train.py:247-254)
+            pred_real_a, s_da = _apply(
+                da, d_params["da"], d_stats["da"], real_a.astype(dtype))
+            pred_fake_a, s_da = _apply(
+                da, d_params["da"], s_da, fake_a_pool.astype(dtype))
+            # D_B (train.py:258-266)
+            pred_real_b, s_db = _apply(
+                db, d_params["db"], d_stats["db"], real_b.astype(dtype))
+            pred_fake_b, s_db = _apply(
+                db, d_params["db"], s_db, fake_b_pool.astype(dtype))
         loss_d_a = 0.5 * (gan_mse_loss(f32(pred_real_a), True)
                           + gan_mse_loss(f32(pred_fake_a), False))
-        # D_B (train.py:258-266)
-        pred_real_b, s_db = _apply(
-            db, d_params["db"], d_stats["db"], real_b.astype(dtype))
-        pred_fake_b, s_db = _apply(
-            db, d_params["db"], s_db, fake_b_pool.astype(dtype))
         loss_d_b = 0.5 * (gan_mse_loss(f32(pred_real_b), True)
                           + gan_mse_loss(f32(pred_fake_b), False))
         aux = dict(
