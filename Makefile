@@ -1,7 +1,14 @@
 # Convenience targets (the reference ships tox/travis, W15; this repo's
 # gate is the pytest suite on a virtual 8-device CPU mesh).
 
-.PHONY: test test-fast test-slow bench bench-train lint dryrun
+.PHONY: test test-fast test-slow bench bench-train lint dryrun ci
+
+# CI-equivalent gate (reference ships .travis.yml/tox): lint + the full
+# suite with the run recorded under logs/ (latest green: logs/test_full_r02.log)
+ci:
+	mkdir -p logs
+	python -m pyflakes ficsr_tpu tests *.py
+	python -m pytest tests/ -q 2>&1 | tee logs/test_full_$$(date +%Y%m%d).log
 
 test:
 	python -m pytest tests/ -q

@@ -62,8 +62,19 @@ SCRIPT = textwrap.dedent("""
 @pytest.mark.slow
 def test_config5_batch128_16devices():
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    proc = subprocess.run([sys.executable, "-c", SCRIPT], cwd=REPO, env=env,
-                          capture_output=True, text=True, timeout=1800)
+    for attempt in range(2):
+        proc = subprocess.run([sys.executable, "-c", SCRIPT], cwd=REPO,
+                              env=env, capture_output=True, text=True,
+                              timeout=1800)
+        if proc.returncode == 0:
+            break
+        # XLA's in-process CPU communicator hard-codes a 40 s rendezvous
+        # termination timeout (rendezvous.cc); 16 device threads on this
+        # 1-core host occasionally miss it under load.  That is a host
+        # scheduling flake, not a sharding bug — retry once.  Any other
+        # failure is real and asserts immediately.
+        if "rendezvous" not in proc.stderr.lower():
+            break
     assert proc.returncode == 0, (
         f"config5 dryrun failed\nstdout: {proc.stdout[-2000:]}"
         f"\nstderr: {proc.stderr[-2000:]}")
