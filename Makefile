@@ -7,7 +7,7 @@
 # suite with the run recorded under logs/ (latest green: logs/test_full_r02.log)
 ci:
 	mkdir -p logs
-	python -m pyflakes ficsr_tpu tests *.py
+	python -m compileall -q ficsr_tpu tests *.py
 	python -m pytest tests/ -q 2>&1 | tee logs/test_full_$$(date +%Y%m%d).log
 
 test:

@@ -20,7 +20,8 @@ import orbax.checkpoint as ocp
 
 from ficsr_tpu.train.state import TrainState
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step",
+           "CheckpointWriter"]
 
 
 def _manager(directory: str) -> ocp.CheckpointManager:
@@ -31,10 +32,39 @@ def _manager(directory: str) -> ocp.CheckpointManager:
 
 
 def save_checkpoint(directory: str, state: TrainState, step: int) -> None:
+    """One-shot synchronous save (tests, fine-tune end)."""
     mgr = _manager(directory)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
     mgr.close()
+
+
+class CheckpointWriter:
+    """Async checkpoint writer for the training loop.
+
+    Keeps ONE CheckpointManager alive across the run and lets orbax
+    write in the background: `save()` returns as soon as the state is
+    staged to host memory, so the next epoch trains while the previous
+    checkpoint hits disk.  `close()` (or context exit) drains pending
+    writes.  The synchronous `save_checkpoint` re-created the manager
+    and blocked on every save.
+    """
+
+    def __init__(self, directory: str):
+        self._mgr = _manager(directory)
+
+    def save(self, state: TrainState, step: int) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def latest_step(directory: str) -> Optional[int]:

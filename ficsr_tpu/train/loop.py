@@ -21,7 +21,6 @@ from ficsr_tpu.parallel.mesh import (
     make_mesh, maybe_init_distributed, replicate, shard_batch,
     shard_train_step)
 from ficsr_tpu.train import evaluate
-from ficsr_tpu.train.checkpoint import save_checkpoint
 from ficsr_tpu.train.config import TrainConfig
 from ficsr_tpu.train.schedule import cosine_annealing, lambda_linear_decay
 from ficsr_tpu.train.state import TrainState, create_train_state
@@ -83,6 +82,8 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
         step_fn = build_train_step(config)
         put = lambda x: x  # noqa: E731
 
+    from ficsr_tpu.train.checkpoint import CheckpointWriter
+    ckpt_writer = CheckpointWriter(config.output_dir)
     total_steps = 0
     for epoch in range(config.epoch, config.n_epochs):
         if config.scheduler:
@@ -145,7 +146,9 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
         else:
             due = epoch % 3 == 2
         if due:
-            save_checkpoint(config.output_dir, jax.device_get(state), epoch + 1)
+            # async: staged to host now, written while the next epoch
+            # trains; drained by ckpt_writer.close() at loop exit
+            ckpt_writer.save(jax.device_get(state), epoch + 1)
 
         if test_dataset is not None:
             infer = evaluate.make_sr_infer({
@@ -158,4 +161,5 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
         if max_steps is not None and total_steps >= max_steps:
             break
 
+    ckpt_writer.close()
     return state
