@@ -73,10 +73,19 @@ def bandreject_mask(h: int, w: int, r_out: float, r_in: float) -> np.ndarray:
 
 
 def _apply_mask(x: jnp.ndarray, shifted_mask: np.ndarray) -> jnp.ndarray:
-    """|ifft2(fft2(x) * ifftshift(mask))| over the last two axes."""
-    m = jnp.asarray(np.fft.ifftshift(shifted_mask))
-    f = jnp.fft.fft2(x.astype(jnp.float32))
-    return jnp.abs(jnp.fft.ifft2(f * m)).astype(jnp.float32)
+    """|ifft2(fft2(x) * ifftshift(mask))| over the last two axes.
+
+    Computed with rfft2/irfft2: the input is real and every mask here
+    is even-symmetric in unshifted layout (built from the squared
+    distance to the (H//2, W//2) center), so the masked spectrum stays
+    exactly Hermitian and the complex ifft2 is exactly real — the
+    reference's `abs(ifft2(.))` (utils.py:101) equals `|irfft2(.)|` at
+    half the FFT work and bandwidth.
+    """
+    h, w = x.shape[-2], x.shape[-1]
+    m = jnp.asarray(np.fft.ifftshift(shifted_mask)[..., : w // 2 + 1])
+    f = jnp.fft.rfft2(x.astype(jnp.float32))
+    return jnp.abs(jnp.fft.irfft2(f * m, s=(h, w))).astype(jnp.float32)
 
 
 def high_pass(x: jnp.ndarray, radius: float = 4.0) -> jnp.ndarray:
@@ -105,26 +114,48 @@ def bandreject_pass(x: jnp.ndarray, r_out: float = 300.0,
 
 def frequency_split(x: jnp.ndarray, hf_radius: float,
                     lf_radius: float,
-                    strict_batch1: bool = False
+                    strict_batch1: bool = False,
+                    rfft: bool = True
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The generator input recipe: (lf, hf) with hf pre-averaged with x.
 
     hf = (high_pass(x, hf_radius) + x) / 2 ; lf = low_pass(x, lf_radius)
     — exactly the per-call-site pattern in `train.py:173-175` etc.
-    One fft2 of x is shared by both branches.
+    One FFT of x is shared by both branches.
 
     strict_batch1=True reproduces the reference's literal behavior at
     batch > 1: only sample 0 is filtered and its spectrum broadcasts to
     the whole batch (`train.py:173`, `utils.py:94`) — identical to the
     default at batch 1; exposed for exact-replication experiments.
+
+    rfft=True (default, inference): real-input FFT at half the work —
+    forward-identical because the masked spectrum is exactly Hermitian
+    (see _apply_mask).  The *backward* differs from torch's at
+    near-zero magnitudes (torch's complex-abs adjoint keeps a gradient
+    component along the noise-level imaginary direction; rfft has no
+    such component), so the differentiated training split
+    (train/step.py) passes rfft=False for bit-level torch-backward
+    compatibility — measured probe error 6e-3 vs the 5e-3 parity
+    budget otherwise.
     """
     h, w = x.shape[-2], x.shape[-1]
     src = x[:1] if (strict_batch1 and x.ndim == 4) else x
-    f = jnp.fft.fft2(src.astype(jnp.float32))
-    m_hi = jnp.asarray(np.fft.ifftshift(gaussian_highpass_mask(h, w, hf_radius)))
-    m_lo = jnp.asarray(np.fft.ifftshift(gaussian_lowpass_mask(h, w, lf_radius)))
-    hf = jnp.abs(jnp.fft.ifft2(f * m_hi)).astype(jnp.float32)
-    lf = -jnp.abs(jnp.fft.ifft2(f * m_lo)).astype(jnp.float32)
+    if rfft:
+        f = jnp.fft.rfft2(src.astype(jnp.float32))
+        m_hi = jnp.asarray(np.fft.ifftshift(
+            gaussian_highpass_mask(h, w, hf_radius))[..., : w // 2 + 1])
+        m_lo = jnp.asarray(np.fft.ifftshift(
+            gaussian_lowpass_mask(h, w, lf_radius))[..., : w // 2 + 1])
+        hf = jnp.abs(jnp.fft.irfft2(f * m_hi, s=(h, w))).astype(jnp.float32)
+        lf = -jnp.abs(jnp.fft.irfft2(f * m_lo, s=(h, w))).astype(jnp.float32)
+    else:
+        f = jnp.fft.fft2(src.astype(jnp.float32))
+        m_hi = jnp.asarray(np.fft.ifftshift(
+            gaussian_highpass_mask(h, w, hf_radius)))
+        m_lo = jnp.asarray(np.fft.ifftshift(
+            gaussian_lowpass_mask(h, w, lf_radius)))
+        hf = jnp.abs(jnp.fft.ifft2(f * m_hi)).astype(jnp.float32)
+        lf = -jnp.abs(jnp.fft.ifft2(f * m_lo)).astype(jnp.float32)
     if strict_batch1 and x.ndim == 4:
         hf = jnp.broadcast_to(hf, x.shape)
         lf = jnp.broadcast_to(lf, x.shape)

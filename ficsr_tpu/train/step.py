@@ -85,25 +85,25 @@ def generator_forward(g_params, g_stats, real_a, real_b, *, train=True,
         return f(params, stats, hf.astype(dtype), lf.astype(dtype))
 
     # G A->B on real_A (train.py:173-176)
-    lf, hf = frequency_split(real_a, *RADII_A)
+    lf, hf = frequency_split(real_a, *RADII_A, rfft=False)
     (lf_feat_a, hf_feat_a, fake_b), s_a = run_a2b(g_params["a2b"], s_a, lf, hf)
     # idt A (train.py:180): B2A fed real_A's split
     (_, _, idt_a), s_b = run_b2a(g_params["b2a"], s_b, hf, lf)
 
     # G B->A on fake_B (train.py:189-193) — gradients DO flow through
     # fake_B and the FFT split into recovered_A
-    lf2, hf2 = frequency_split(fake_b.astype(jnp.float32), *RADII_B)
+    lf2, hf2 = frequency_split(fake_b.astype(jnp.float32), *RADII_B, rfft=False)
     (hf_feat_rec_a, lf_feat_rec_a, recovered_a), s_b = run_b2a(
         g_params["b2a"], s_b, hf2, lf2)
 
     # G B->A on real_B (train.py:197-200)
-    lf3, hf3 = frequency_split(real_b, *RADII_B)
+    lf3, hf3 = frequency_split(real_b, *RADII_B, rfft=False)
     (hf_feat_b, lf_feat_b, fake_a), s_b = run_b2a(g_params["b2a"], s_b, hf3, lf3)
     # idt B (train.py:203): A2B fed real_B's split
     (_, _, idt_b), s_a = run_a2b(g_params["a2b"], s_a, lf3, hf3)
 
     # G A->B on fake_A (train.py:211-214)
-    lf4, hf4 = frequency_split(fake_a.astype(jnp.float32), *RADII_A)
+    lf4, hf4 = frequency_split(fake_a.astype(jnp.float32), *RADII_A, rfft=False)
     (lf_feat_rec_b, hf_feat_rec_b, recovered_b), s_a = run_a2b(
         g_params["a2b"], s_a, lf4, hf4)
 
@@ -137,8 +137,8 @@ def _generator_forward_fused(g_params, g_stats, real_a, real_b, *,
         return f(params, stats, x1, x2)
 
     # stage 1: a2b on [split(real_A) -> fake_B | split(real_B) -> idt_B]
-    lf, hf = frequency_split(real_a, *RADII_A)        # train.py:173-175
-    lf3, hf3 = frequency_split(real_b, *RADII_B)      # train.py:197-199
+    lf, hf = frequency_split(real_a, *RADII_A, rfft=False)        # train.py:173-175
+    lf3, hf3 = frequency_split(real_b, *RADII_B, rfft=False)      # train.py:197-199
     (lf_feats, hf_feats, out_a2b), s_a = run(
         a2b, g_params["a2b"], g_stats["a2b"],
         jnp.concatenate([lf, lf3]), jnp.concatenate([hf, hf3]), 2)
@@ -147,7 +147,7 @@ def _generator_forward_fused(g_params, g_stats, real_a, real_b, *,
 
     # stage 2: b2a on [swap(split(real_A)) -> idt_A | split(fake_B) ->
     # recovered_A] — gradients flow through fake_B's FFT split
-    lf2, hf2 = frequency_split(fake_b.astype(jnp.float32), *RADII_B)
+    lf2, hf2 = frequency_split(fake_b.astype(jnp.float32), *RADII_B, rfft=False)
     (hf_feats2, lf_feats2, out_b2a), s_b = run(
         b2a, g_params["b2a"], g_stats["b2a"],
         jnp.concatenate([hf, hf2]), jnp.concatenate([lf, lf2]), 2)
@@ -159,7 +159,7 @@ def _generator_forward_fused(g_params, g_stats, real_a, real_b, *,
     hf_feat_b = hf_feats3
 
     # stage 4: a2b on split(fake_A) -> recovered_B (train.py:211-214)
-    lf4, hf4 = frequency_split(fake_a.astype(jnp.float32), *RADII_A)
+    lf4, hf4 = frequency_split(fake_a.astype(jnp.float32), *RADII_A, rfft=False)
     (_, hf_feat_rec_b, recovered_b), s_a = run(
         a2b, g_params["a2b"], s_a, lf4, hf4, 1)
 
