@@ -1,14 +1,16 @@
 #!/usr/bin/env python3
-"""Honest component breakdown of the b16-bf16 train step (466 ms).
+"""Honest component breakdown of the CycleGAN train step.
 
 Measures each piece of the step as its own jitted program with the
-device-accumulator sync, to locate where the 466 ms goes before
-attempting any further kernel work:
+device-accumulator sync (b16-bf16 accounting: G phase 439.6 + D 8.7 +
+opt/replay ~7 ≈ the 495 ms full step — benchmarks/README.md):
 
   freq_split x1, G fwd (a2b/b2a), G fwd+bwd, D fwd, D fwd+bwd,
-  full g_loss fwd+bwd, full d_loss fwd+bwd, adamw update alone.
+  full g_loss fwd+bwd, full d_loss fwd+bwd, adamw update, replay,
+  FULL step.
 
 Usage: python benchmarks/step_profile.py [--batch 16] [--iters 20]
+         [--fp32] [--remat] [--seq] [--phases-only]
 """
 
 import argparse

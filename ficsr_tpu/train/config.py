@@ -7,7 +7,8 @@ True (SURVEY §2a #1); we parse booleans correctly and document the
 divergence here instead of reproducing the footgun.
 
 TPU-specific additions (not in the reference, all defaulted off/auto):
-``--bf16``, ``--remat``, ``--data_parallel``, ``--jit_compat``.
+``--bf16``, ``--remat``, ``--data_parallel``, ``--layout``,
+``--fused_streams``.
 """
 
 from __future__ import annotations
