@@ -8,7 +8,8 @@
 ci:
 	mkdir -p logs
 	python -m compileall -q ficsr_tpu tests *.py
-	python -m pytest tests/ -q 2>&1 | tee logs/test_full_$$(date +%Y%m%d).log
+	python -m pytest tests/ -q > logs/test_full_$$(date +%Y%m%d).log 2>&1; \
+	    rc=$$?; tail -5 logs/test_full_$$(date +%Y%m%d).log; exit $$rc
 
 test:
 	python -m pytest tests/ -q

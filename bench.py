@@ -30,21 +30,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
 
-def _apply_layout(train: bool = False):
+def _apply_layout(train: bool = False, layout: str = "auto"):
     """Measured-fastest layout (inference: NHWC on TPU; training: NCHW —
     see resolve_layout), unless --layout NCHW/NHWC overrides."""
-    import sys
-
     from ficsr_tpu.models.layers import set_layout
     from ficsr_tpu.train.config import resolve_layout
 
-    override = "auto"
-    if "--layout" in sys.argv:
-        override = sys.argv[sys.argv.index("--layout") + 1]
-    set_layout(resolve_layout(override, train=train))
+    set_layout(resolve_layout(layout, train=train))
 
 
-def measure(batch: int, iters: int = 20, dtype=jnp.float32) -> float:
+def measure(batch: int, iters: int = 20, dtype=jnp.float32,
+            layout: str = "auto") -> float:
     """Throughput with HONEST device sync.
 
     On the axon runtime `jax.block_until_ready` does not wait for
@@ -56,7 +52,7 @@ def measure(batch: int, iters: int = 20, dtype=jnp.float32) -> float:
     from ficsr_tpu.ops.freq import RADII_A, frequency_split
     from ficsr_tpu.train.state import MODELS
 
-    _apply_layout()
+    _apply_layout(layout=layout)
     model = MODELS["a2b"]
     x = jnp.zeros((batch, 1, 256, 256), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
@@ -85,14 +81,15 @@ def measure(batch: int, iters: int = 20, dtype=jnp.float32) -> float:
     return batch * iters / dt
 
 
-def measure_train(batch: int = 1, iters: int = 20, bf16: bool = False) -> float:
+def measure_train(batch: int = 1, iters: int = 20, bf16: bool = False,
+                  layout: str = "auto") -> float:
     """Train steps/sec with honest chained sync (state chains step to
     step; one final host transfer forces everything)."""
     from ficsr_tpu.train.config import TrainConfig
     from ficsr_tpu.train.state import create_train_state
     from ficsr_tpu.train.step import build_train_step
 
-    _apply_layout(train=True)
+    _apply_layout(train=True, layout=layout)
     cfg = TrainConfig(batchSize=batch, bf16=bf16)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = build_train_step(cfg)
@@ -110,14 +107,21 @@ def measure_train(batch: int = 1, iters: int = 20, bf16: bool = False) -> float:
 
 
 def main():
-    import sys
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train", action="store_true",
+                    help="measure train steps/sec instead of inference")
+    ap.add_argument("--batch", type=int, default=1, help="train batch size")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--layout", default="auto",
+                    choices=["auto", "NCHW", "NHWC"])
+    args = ap.parse_args()
 
     platform = jax.devices()[0].platform
-    if "--train" in sys.argv:
-        tb = int(sys.argv[sys.argv.index("--batch") + 1]) \
-            if "--batch" in sys.argv else 1
-        bf16 = "--bf16" in sys.argv
-        sps = measure_train(batch=tb, bf16=bf16,
+    if args.train:
+        tb, bf16 = args.batch, args.bf16
+        sps = measure_train(batch=tb, bf16=bf16, layout=args.layout,
                             iters=5 if platform == "cpu" else 20)
         print(json.dumps({
             "metric": f"octa_cyclegan_train_256px_b{tb}"
@@ -146,7 +150,7 @@ def main():
     for b in batches:
         try:
             ips = measure(b, iters=5 if platform == "cpu" else 50,
-                          dtype=dtype)
+                          dtype=dtype, layout=args.layout)
         except Exception:
             break
         if ips > best:

@@ -27,7 +27,9 @@ Usage: python benchmarks/conv_experiments.py [--iters 30]
 import argparse
 import json
 import os
-import time
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
 
 import jax
 
@@ -42,15 +44,11 @@ B = 16
 DT = jnp.bfloat16
 
 
+from timing import honest_ms
+
+
 def honest_time(fn, args, iters):
-    acc = jnp.zeros((), jnp.float32)
-    acc = fn(*args, acc)
-    float(acc)  # compile + sync
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = fn(*args, acc)
-    float(acc)
-    return (time.perf_counter() - t0) / iters
+    return honest_ms(fn, args, iters) / 1e3  # seconds (callers expect s)
 
 
 def conv_nchw(x, w, stride=1, pad=1):
@@ -102,6 +100,9 @@ def im2col_conv(x, w):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--fresh", action="store_true",
+                    help="re-measure everything, ignoring the committed "
+                         "conv_experiments.json cache")
     args = ap.parse_args()
     it = args.iters
     key = jax.random.PRNGKey(0)
@@ -111,9 +112,16 @@ def main():
         return 2 * bsz * h * w * kh * kw * ci * co
 
     out = os.path.join(os.path.dirname(__file__), "conv_experiments.json")
-    if os.path.isfile(out):  # resume: skip already-measured variants
+    if os.path.isfile(out) and not args.fresh:
+        # resume: skip already-measured variants (crash-resumable on the
+        # slow remote-compile tunnel).  NOTE: with the committed JSON in
+        # place this skips EVERYTHING — pass --fresh to actually
+        # re-measure (e.g. on new hardware or a new JAX release).
         with open(out) as fh:
             results.update(json.load(fh))
+        if results:
+            print(f"# {len(results)} cached entries loaded from {out}; "
+                  "pass --fresh to re-measure", flush=True)
 
     def record(name, fn_args, fl):
         if name in results:

@@ -17,34 +17,23 @@ Usage:
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
 
 import jax
 import jax.numpy as jnp
 
 
 def _time(fn, x, iters=20):
-    """Honest device sync (bench.py `measure` pattern): on the axon TPU
-    runtime `jax.block_until_ready` does NOT wait for execution
-    (benchmarks/README.md), so every iteration's output is folded into a
-    device-side scalar accumulator and pulled to the host exactly once —
-    that single transfer forces the whole chain."""
+    """Honest device sync — see benchmarks/timing.py (shared helper)."""
+    from timing import honest_ms, tree_acc
 
     @jax.jit
     def step(v, acc):
-        r = fn(v)
-        return acc + sum(jnp.sum(t.astype(jnp.float32))
-                         for t in jax.tree.leaves(r))
+        return acc + tree_acc(fn(v))
 
-    acc = jnp.zeros((), jnp.float32)
-    float(step(x, acc))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = step(x, acc)
-    float(acc)  # one host transfer syncs all iterations
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    return honest_ms(step, (x,), iters)
 
 
 def bench_one(kind: str, j: int, size: int, batch: int, wave: str,

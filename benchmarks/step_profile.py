@@ -10,14 +10,13 @@ opt/replay ~7 ≈ the 495 ms full step — benchmarks/README.md):
   FULL step.
 
 Usage: python benchmarks/step_profile.py [--batch 16] [--iters 20]
-         [--fp32] [--remat] [--seq] [--phases-only]
+         [--fp32] [--remat] [--fused] [--phases-only]
 """
 
 import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -30,24 +29,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
 
-def tree_acc(tree):
-    """Fold EVERY leaf into the accumulator.  Consuming only a few
-    leaves lets XLA dead-code-eliminate the weight-gradient
-    contractions for the rest of the tree, silently under-reporting
-    backward cost (r2 finding: components summed to 261 ms vs a 466 ms
-    full step until this was fixed)."""
-    return sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(tree))
-
-
-def honest(fn, args, iters):
-    acc = jnp.zeros((), jnp.float32)
-    acc = fn(*args, acc)
-    float(acc)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = fn(*args, acc)
-    float(acc)
-    return (time.perf_counter() - t0) / iters * 1e3
+from timing import honest_ms as honest, tree_acc  # noqa: E402
 
 
 def main():
@@ -57,8 +39,9 @@ def main():
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize generator forwards")
-    ap.add_argument("--seq", action="store_true",
-                    help="sequential (non-fused) forward schedule")
+    ap.add_argument("--fused", action="store_true",
+                    help="stream-batched forward schedule (non-default; "
+                         "OOMs at b16-bf16 — benchmarks/README.md)")
     ap.add_argument("--phases-only", action="store_true",
                     help="skip the per-component micro rows; measure "
                          "G phase / D phase / replay / full step only")
@@ -73,7 +56,7 @@ def main():
     from ficsr_tpu.train.step import build_loss_fns
 
     cfg = TrainConfig(batchSize=b, bf16=not args.fp32, remat=args.remat,
-                      fused_streams=not args.seq)
+                      fused_streams=args.fused)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     g_loss_fn, d_loss_fn = build_loss_fns(cfg)
     tx = make_optimizer()
@@ -181,7 +164,7 @@ def main():
 
     tag = (f"b{b}_{'fp32' if args.fp32 else 'bf16'}"
            + ("_remat" if args.remat else "")
-           + ("_seq" if args.seq else ""))
+           + ("_fused" if args.fused else ""))
     out = os.path.join(os.path.dirname(__file__), f"step_profile_{tag}.json")
     with open(out, "w") as fh:
         json.dump(res, fh, indent=1)

@@ -12,10 +12,13 @@ The *activation* layout inside the models is switchable:
     dominant 3x3/64ch/256^2 class and 1.42x on the 7x7 stems, neutral
     for fwd+bwd — so it is the inference-layout default on TPU.
 
-The network-level modules (NetworkA2B/B2A, FSDiscriminator, PatchGAN,
+The network-level modules (NetworkA2B/B2A, FSDiscriminatorA/B,
 UnetGenerator) keep an NCHW *boundary* regardless: inputs/outputs are
 transposed at entry/exit via `to_internal`/`from_internal`, so callers,
 losses, parity tests, and converters never see the internal layout.
+(PatchGAN is an *internal* building block of FSDiscriminator and runs
+in the active internal layout — call it directly only with tensors
+already in that layout.)
 
 Initializers replicate `weights_init_normal`
 (`/root/reference/utils.py:63-69`): conv kernels ~ N(0, 0.02), BatchNorm

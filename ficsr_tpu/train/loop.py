@@ -59,7 +59,8 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
           max_steps: Optional[int] = None) -> TrainState:
     maybe_init_distributed()  # no-op off-pod
     from ficsr_tpu.train.config import apply_layout
-    apply_layout(config)  # NHWC on TPU unless --layout overrides
+    apply_layout(config)  # measured training policy: NCHW (auto);
+    # --layout NHWC overrides (docs/architecture.md §6)
     # validate data before any (minutes-long) device compilation
     dataset = ImageDataset(config.dataroot, unaligned=True, seed=config.seed)
     print(len(dataset))

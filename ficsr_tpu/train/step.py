@@ -45,14 +45,17 @@ def _apply(model, params, stats, *args, train: bool = True):
 
 
 def generator_forward(g_params, g_stats, real_a, real_b, *, train=True,
-                      remat=False, dtype=jnp.float32, fused=True):
+                      remat=False, dtype=jnp.float32, fused=False):
     """The six-forward pass block (train.py:170-214).
 
     Returns everything the losses need plus updated BN stats.
 
-    With ``fused=True`` (default) the six sequential generator passes
-    are reorganized into FOUR applications — two of them batched over 2
-    streams via :func:`ficsr_tpu.models.layers.use_streams` — which is
+    With ``fused=True`` (non-default, matching
+    ``TrainConfig.fused_streams``; measured slower at b1 and OOM at
+    b16-bf16 on v5e — benchmarks/README.md) the six sequential
+    generator passes are reorganized into FOUR applications — two of
+    them batched over 2 streams via
+    :func:`ficsr_tpu.models.layers.use_streams` — which is
     bit-identical to the sequential schedule (per-stream BN statistics,
     running stats threaded in the reference's exact update order) but
     gives XLA twice-larger convolutions on the critical path and a
