@@ -68,11 +68,12 @@ def bench_one(kind: str, j: int, size: int, batch: int, wave: str,
         loss = jax.jit(jax.grad(
             lambda v: sum(jnp.sum(t ** 2)
                           for t in jax.tree.leaves(fm(v)))))
-    elif kind == "scat":
+    elif kind in ("scat", "scat2"):
         # comparable to `pytorch_wavelets/docs/scatternet.rst:31-42`
-        # (fwd 0.10 s / bwd 0.16 s on GTX1080 at 128x3x256x256)
-        from ficsr_tpu.wavelets import ScatLayer
-        sl = ScatLayer()
+        # (ScatLayer fwd 0.10 s / bwd 0.16 s on GTX1080 at 128x3x256x256);
+        # scat2 = 2nd-order ScatLayerj2 (49x channels out)
+        from ficsr_tpu.wavelets import ScatLayer, ScatLayerj2
+        sl = ScatLayer() if kind == "scat" else ScatLayerj2()
         fwd = jax.jit(sl)
         coeffs = fwd(x)
         inv = None
@@ -86,7 +87,8 @@ def bench_one(kind: str, j: int, size: int, batch: int, wave: str,
     if grad:
         rows.append(("grad", _time(loss, x, iters)))
     filt = {"dtcwt": "near_sym_a/qshift_a",
-            "scat": "near_sym_a"}.get(kind, wave)
+            "scat": "near_sym_a",
+            "scat2": "near_sym_a/qshift_a"}.get(kind, wave)
     for name, ms in rows:
         print(f"{kind} {filt} J={j} {batch}x{x.shape[1]}x{size}x{size} "
               f"{name}: {ms:8.3f} ms")
@@ -94,7 +96,8 @@ def bench_one(kind: str, j: int, size: int, batch: int, wave: str,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("kind", choices=["dwt", "swt", "dtcwt", "scat", "all"])
+    p.add_argument("kind",
+                   choices=["dwt", "swt", "dtcwt", "scat", "scat2", "all"])
     p.add_argument("--channels", type=int, default=1)
     p.add_argument("--j", type=int, default=1)
     p.add_argument("--size", type=int, default=128)
