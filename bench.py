@@ -82,15 +82,18 @@ def measure(batch: int, iters: int = 20, dtype=jnp.float32,
 
 
 def measure_train(batch: int = 1, iters: int = 20, bf16: bool = False,
-                  layout: str = "auto") -> float:
+                  layout: str = "auto", conv_fold: str = "auto") -> float:
     """Train steps/sec with honest chained sync (state chains step to
     step; one final host transfer forces everything)."""
-    from ficsr_tpu.train.config import TrainConfig
+    from ficsr_tpu.train.config import TrainConfig, resolve_conv_fold
     from ficsr_tpu.train.state import create_train_state
     from ficsr_tpu.train.step import build_train_step
 
     _apply_layout(train=True, layout=layout)
-    cfg = TrainConfig(batchSize=batch, bf16=bf16)
+    cfg = TrainConfig(batchSize=batch, bf16=bf16, conv_fold=conv_fold)
+    import sys
+    print(f"# layout resolved, conv_fold={resolve_conv_fold(cfg)}",
+          file=sys.stderr)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = build_train_step(cfg)
     ra = jax.random.normal(jax.random.PRNGKey(1), (batch, 1, 256, 256))
@@ -116,12 +119,15 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--layout", default="auto",
                     choices=["auto", "NCHW", "NHWC"])
+    ap.add_argument("--conv_fold", default="auto",
+                    choices=["auto", "on", "off", "k7"])
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
     if args.train:
         tb, bf16 = args.batch, args.bf16
         sps = measure_train(batch=tb, bf16=bf16, layout=args.layout,
+                            conv_fold=args.conv_fold,
                             iters=5 if platform == "cpu" else 20)
         print(json.dumps({
             "metric": f"octa_cyclegan_train_256px_b{tb}"

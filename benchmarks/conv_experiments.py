@@ -97,13 +97,103 @@ def im2col_conv(x, w):
     return jnp.einsum("bhwk,ko->bhwo", cols, w)
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth (width-fold) reformulations — round 3 (VERDICT item 1).
+#
+# Key fact: in NHWC row-major memory, (B,H,W,C) -> (B,H,W/r,r*C) is a PURE
+# RESHAPE (flat index w*C+c == w2*(r*C) + dx*C + c with w = r*w2+dx), so
+# folding width-pairs into channels costs zero data movement.  A stride-1
+# odd-k conv on the fine grid is then *exactly* a conv on the folded grid
+# with a zero-structured kernel: output phase q (fine col r*j+q), tap
+# offset kx-m lands on fine col f = q+kx-m = r*u+p, i.e. coarse offset
+# u = floor(f/r), input phase p = f mod r.  For r=2, k=3 the coarse kernel
+# is 3x3 x 2C x 2Co with half the entries zero: 2x the FLOPs of the fine
+# conv, but the contraction depth is 2C=128 = full MXU lanes (the 64-ch
+# class half-fills them — the measured ~3x train-step MFU gap).
+# ---------------------------------------------------------------------------
+
+
+def fold_kernel_w(w, r):
+    """HWIO fine kernel (kh,kw,C,Co), kw odd -> folded (kh,kwc,r*C,r*Co)."""
+    kh, kw, c, co = w.shape
+    m = kw // 2
+    hw = (m + r - 1) // r  # coarse half-width: covers u=floor((q+-m)/r)
+    kwc = 2 * hw + 1
+    wf = jnp.zeros((kh, kwc, r * c, r * co), w.dtype)
+    for q in range(r):
+        for kx in range(kw):
+            f = q + kx - m
+            u = f // r + hw
+            p = f % r
+            wf = wf.at[:, u, p * c:(p + 1) * c, q * co:(q + 1) * co].set(
+                w[:, kx])
+    return wf
+
+
+def conv_s2dw(x, w, r=2):
+    """Exact stride-1 'same' conv via width-fold by r. x NHWC, w HWIO."""
+    b, h, wd, c = x.shape
+    kh, kw, _, co = w.shape
+    xf = x.reshape(b, h, wd // r, r * c)
+    wf = fold_kernel_w(w, r)
+    hw = (kw // 2 + r - 1) // r
+    y = lax.conv_general_dilated(
+        xf, wf, (1, 1), ((kh // 2, kh // 2), (hw, hw)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.reshape(b, h, wd, co)
+
+
+def conv_s2dw_2c(x, w):
+    """Width-fold r=2, k=3, as TWO exact-coverage convs (1.33x FLOPs,
+    K=2C=128 contraction, but Co=64 output lanes + an output interleave)."""
+    b, h, wd, c = x.shape
+    _, _, _, co = w.shape
+    xf = x.reshape(b, h, wd // 2, 2 * c)
+    w0 = jnp.zeros((3, 2, 2 * c, co), w.dtype)  # phase 0: coarse taps {-1,0}
+    w1 = jnp.zeros((3, 2, 2 * c, co), w.dtype)  # phase 1: coarse taps {0,+1}
+    for kx in range(3):
+        f0 = kx - 1
+        w0 = w0.at[:, f0 // 2 + 1, (f0 % 2) * c:(f0 % 2 + 1) * c, :].set(
+            w[:, kx])
+        f1 = kx
+        w1 = w1.at[:, f1 // 2, (f1 % 2) * c:(f1 % 2 + 1) * c, :].set(
+            w[:, kx])
+    dn = ("NHWC", "HWIO", "NHWC")
+    y0 = lax.conv_general_dilated(xf, w0, (1, 1), ((1, 1), (1, 0)),
+                                  dimension_numbers=dn)
+    y1 = lax.conv_general_dilated(xf, w1, (1, 1), ((1, 1), (0, 1)),
+                                  dimension_numbers=dn)
+    return jnp.stack([y0, y1], axis=3).reshape(b, h, wd, co)
+
+
+def check_s2dw():
+    """f32 equivalence of every folded variant vs the plain conv."""
+    import numpy as np
+    k = jax.random.PRNGKey(1)
+    x = jax.random.normal(k, (2, 16, 24, 64), jnp.float32)
+    w3 = jax.random.normal(k, (3, 3, 64, 32), jnp.float32) * 0.1
+    ref = conv_nhwc(x, w3, pad=1)
+    np.testing.assert_allclose(conv_s2dw(x, w3, 2), ref, atol=2e-4)
+    np.testing.assert_allclose(conv_s2dw(x, w3, 4), ref, atol=2e-4)
+    np.testing.assert_allclose(conv_s2dw_2c(x, w3), ref, atol=2e-4)
+    w7 = jax.random.normal(k, (7, 7, 64, 32), jnp.float32) * 0.1
+    ref7 = conv_nhwc(x, w7, pad=3)
+    np.testing.assert_allclose(conv_s2dw(x, w7, 2), ref7, atol=1e-3)
+    print("# s2dw equivalence checks passed", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--fresh", action="store_true",
                     help="re-measure everything, ignoring the committed "
                          "conv_experiments.json cache")
+    ap.add_argument("--check", action="store_true",
+                    help="run f32 equivalence checks for the s2d variants "
+                         "first")
     args = ap.parse_args()
+    if args.check:
+        check_s2dw()
     it = args.iters
     key = jax.random.PRNGKey(0)
     results = {}
@@ -160,6 +250,24 @@ def main():
     f, a = make_fwdbwd(im2col_conv, xAh, wAc)
     record("A.3x3_64_256 im2col fwd+bwd", (f, a), 3 * flA)
 
+    # ---- class A space-to-depth width-fold variants (round 3) ----
+    # TF/s below are on the USEFUL (fine-conv) FLOP basis; the folded
+    # formulations execute 2x (r=2), 4x (r=4), 1.33x (2c) actual FLOPs.
+    f, a = make_fwd(conv_s2dw, xAh, wA.transpose(2, 3, 1, 0))
+    record("A.3x3_64_256 s2dw2 fwd", (f, a), flA)
+    f, a = make_fwdbwd(conv_s2dw, xAh, wA.transpose(2, 3, 1, 0))
+    record("A.3x3_64_256 s2dw2 fwd+bwd", (f, a), 3 * flA)
+    f, a = make_fwd(lambda x, w: conv_s2dw(x, w, 4), xAh,
+                    wA.transpose(2, 3, 1, 0))
+    record("A.3x3_64_256 s2dw4 fwd", (f, a), flA)
+    f, a = make_fwdbwd(lambda x, w: conv_s2dw(x, w, 4), xAh,
+                       wA.transpose(2, 3, 1, 0))
+    record("A.3x3_64_256 s2dw4 fwd+bwd", (f, a), 3 * flA)
+    f, a = make_fwd(conv_s2dw_2c, xAh, wA.transpose(2, 3, 1, 0))
+    record("A.3x3_64_256 s2dw-2conv fwd", (f, a), flA)
+    f, a = make_fwdbwd(conv_s2dw_2c, xAh, wA.transpose(2, 3, 1, 0))
+    record("A.3x3_64_256 s2dw-2conv fwd+bwd", (f, a), 3 * flA)
+
     # ---- class B: 3x3 256->256 @32^2 ----
     xB = jax.random.normal(key, (B, 256, 32, 32), DT)
     wB = jax.random.normal(key, (256, 256, 3, 3), DT) * 0.02
@@ -190,6 +298,11 @@ def main():
     record("C.7x7_64_128 nchw fwd+bwd", (f, a), 3 * flC)
     f, a = make_fwdbwd(conv_nhwc, xCh, wCh, pad=3)
     record("C.7x7_64_128 nhwc fwd+bwd", (f, a), 3 * flC)
+    # width-fold r=2: coarse kernel 7x5, 128ch -> 1.43x actual FLOPs
+    f, a = make_fwd(conv_s2dw, xCh, wCh)
+    record("C.7x7_64_128 s2dw2 fwd", (f, a), flC)
+    f, a = make_fwdbwd(conv_s2dw, xCh, wCh)
+    record("C.7x7_64_128 s2dw2 fwd+bwd", (f, a), 3 * flC)
 
     # ---- class D: ConvT 4x4 s2 128->64, 128^2 -> 256^2 ----
     def convt_nchw(x, w):

@@ -85,18 +85,18 @@ def main():
 
     @jax.jit
     def f_fwd(lf, hf, acc):
-        out, _ = a2b.apply(va, lf, hf, train=True, mutable=["batch_stats"])
-        return acc + jnp.mean(out[2].astype(jnp.float32))
+        out, mut = a2b.apply(va, lf, hf, train=True, mutable=["batch_stats"])
+        return acc + jnp.mean(out[2].astype(jnp.float32)) + tree_acc(mut)
     micro and rec("a2b fwd (train BN)", honest(f_fwd, (lf, hf), it))
 
     @jax.jit
     def f_fwdbwd(lf, hf, acc):
         def loss(p):
-            out, _ = a2b.apply({"params": p, "batch_stats": va["batch_stats"]},
+            out, mut = a2b.apply({"params": p, "batch_stats": va["batch_stats"]},
                                lf, hf, train=True, mutable=["batch_stats"])
-            return jnp.mean(jnp.square(out[2].astype(jnp.float32)))
-        v, g = jax.value_and_grad(loss)(va["params"])
-        return acc + v + tree_acc(g)
+            return jnp.mean(jnp.square(out[2].astype(jnp.float32))), mut
+        (v, mut), g = jax.value_and_grad(loss, has_aux=True)(va["params"])
+        return acc + v + tree_acc(g) + tree_acc(mut)
     micro and rec("a2b fwd+bwd", honest(f_fwdbwd, (lf, hf), it))
 
     da = MODELS["da"]
@@ -105,32 +105,34 @@ def main():
 
     @jax.jit
     def d_fwd(x, acc):
-        out, _ = da.apply(vd, x, train=True, mutable=["batch_stats"])
-        return acc + jnp.mean(out.astype(jnp.float32))
+        out, mut = da.apply(vd, x, train=True, mutable=["batch_stats"])
+        return acc + jnp.mean(out.astype(jnp.float32)) + tree_acc(mut)
     micro and rec("D fwd", honest(d_fwd, (img,), it))
 
     @jax.jit
     def d_fwdbwd(x, acc):
         def loss(p):
-            out, _ = da.apply({"params": p, "batch_stats": vd["batch_stats"]},
+            out, mut = da.apply({"params": p, "batch_stats": vd["batch_stats"]},
                               x, train=True, mutable=["batch_stats"])
-            return jnp.mean(jnp.square(out.astype(jnp.float32)))
-        v, g = jax.value_and_grad(loss)(vd["params"])
-        return acc + v + tree_acc(g)
+            return jnp.mean(jnp.square(out.astype(jnp.float32))), mut
+        (v, mut), g = jax.value_and_grad(loss, has_aux=True)(vd["params"])
+        return acc + v + tree_acc(g) + tree_acc(mut)
     micro and rec("D fwd+bwd", honest(d_fwdbwd, (img,), it))
 
     @jax.jit
     def g_phase(gp, acc):
         (l, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             gp, state.g_stats, state.d_params, state.d_stats, ra, rb)
-        return acc + l + tree_acc(grads)
+        # fold aux too (fakes + BN running-stat updates) — dropping it
+        # lets XLA DCE those update chains and under-report the phase
+        return acc + l + tree_acc(grads) + tree_acc(aux)
     rec("G phase (loss fwd+bwd)", honest(g_phase, (state.g_params,), it))
 
     @jax.jit
     def d_phase(dp, acc):
         (l, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             dp, state.d_stats, ra, rb, ra, rb)
-        return acc + l + tree_acc(grads)
+        return acc + l + tree_acc(grads) + tree_acc(aux)
     rec("D phase (loss fwd+bwd)", honest(d_phase, (state.d_params,), it))
 
     zeros_g = jax.tree.map(jnp.zeros_like, state.g_params)

@@ -22,10 +22,27 @@ _STOP = object()
 
 
 def prefetch_batches(dataset, batch_size: int, epoch: int,
-                     num_workers: int = 2, depth: int = 4
+                     num_workers: int = 2, depth: int = 4,
+                     shard: Tuple[int, int] = (0, 1)
                      ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Yields stacked (A_u8 (B,H,W), B_u8 (B,H,W)) batches for one epoch,
-    decoded by `num_workers` threads, `depth` batches ahead."""
+    decoded by `num_workers` threads, `depth` batches ahead.
+
+    `shard=(process_index, process_count)` is the multi-host data path
+    (SURVEY §5: data loading rides DCN, per host): `batch_size` is the
+    GLOBAL batch; every host derives the same epoch-stable permutation
+    (seeded by epoch only, so no cross-host coordination is needed) and
+    loads only its contiguous `batch_size/process_count` rows of each
+    global batch.  The union of all hosts' rows is exactly the global
+    batch, in order, every epoch, deterministically.
+    """
+    index, count = shard
+    if not 0 <= index < count:
+        raise ValueError(f"shard index {index} outside [0, {count})")
+    if batch_size % count:
+        raise ValueError(
+            f"global batch {batch_size} not divisible by {count} hosts")
+    per_host = batch_size // count
     order = dataset.shuffled_indices(epoch)
     n_batches = (len(order)) // batch_size
     q: "queue.Queue" = queue.Queue(maxsize=depth)
@@ -34,7 +51,8 @@ def prefetch_batches(dataset, batch_size: int, epoch: int,
         try:
             with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
                 for b in range(n_batches):
-                    idx = order[b * batch_size:(b + 1) * batch_size]
+                    lo = b * batch_size + index * per_host
+                    idx = order[lo:lo + per_host]
                     items = list(pool.map(
                         lambda j: dataset[int(j)], idx))
                     a = np.stack([it[0] for it in items])

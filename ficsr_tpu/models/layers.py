@@ -45,6 +45,8 @@ __all__ = [
     "set_layout",
     "get_layout",
     "use_layout",
+    "use_fold",
+    "get_fold",
     "use_streams",
     "get_streams",
     "channel_axis",
@@ -81,6 +83,42 @@ def use_layout(layout: str):
         yield
     finally:
         set_layout(prev)
+
+
+_FOLD = False
+
+
+def get_fold() -> bool:
+    return _FOLD
+
+
+@contextlib.contextmanager
+def use_fold(enabled: bool = True):
+    """Trace-scoped width-fold (space-to-depth) conv formulation.
+
+    Inside this context, qualifying Conv2d calls (NHWC layout, stride 1,
+    odd kernel, 'same' or valid padding, 32<=Cin<=64, Cout>=32, even
+    width) are computed as an *algebraically identical* conv on a
+    width-folded layout: (B,H,W,C) -> (B,H,W/2,2C) is a free reshape in
+    NHWC row-major memory, and the fine conv becomes a coarse conv with
+    a zero-structured kernel at full 128-lane MXU contraction depth
+    (2C=128 for the reference's 64-channel classes, which half-fill the
+    lanes and were the measured ~3x train-step MFU gap).
+
+    Measured v5e b16-bf16 per conv (benchmarks/conv_experiments.json):
+    fwd+bwd 3x3/64ch/256^2 5.08 -> 4.21 ms, 7x7/64ch/128^2 5.65 ->
+    3.60 ms; fwd-only is ~7% SLOWER (the 2x kernel-zero FLOP redundancy
+    outweighs the MXU gain without the backward's conv shapes), so this
+    is enabled inside the differentiated train step only — inference
+    keeps plain convs.
+    """
+    global _FOLD
+    prev = _FOLD
+    _FOLD = enabled if isinstance(enabled, str) else bool(enabled)
+    try:
+        yield
+    finally:
+        _FOLD = prev
 
 
 _STREAMS = 1
@@ -154,6 +192,32 @@ def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
     return jax.nn.leaky_relu(x, negative_slope)
 
 
+def _width_fold_kernel(w: jnp.ndarray, padding: int) -> jnp.ndarray:
+    """HWIO fine kernel -> zero-structured coarse kernel for r=2 width-fold.
+
+    Output fine col 2j+q, tap kx: input fine col f lands on coarse col
+    j+u, input phase p.  'Same' pad (padding==kw//2): f=q+kx-m centered,
+    coarse kernel width 2*((m+1)//2)+1.  Valid (padding==0): f=q+kx,
+    coarse width (kw+1)//2 — only (2*kwc/kw)x FLOP redundancy (1.14x for
+    the reflection-padded 7x7 stems vs 2x for same-pad 3x3).
+    """
+    kh, kw, c, co = w.shape
+    if padding == 0:
+        kwc = (kw + 1) // 2
+        taps = [(q, kx, (q + kx) // 2, (q + kx) % 2)
+                for q in range(2) for kx in range(kw)]
+    else:
+        m = kw // 2
+        hw = (m + 1) // 2
+        kwc = 2 * hw + 1
+        taps = [(q, kx, (q + kx - m) // 2 + hw, (q + kx - m) % 2)
+                for q in range(2) for kx in range(kw)]
+    wf = jnp.zeros((kh, kwc, 2 * c, 2 * co), w.dtype)
+    for q, kx, u, p in taps:
+        wf = wf.at[:, u, p * c:(p + 1) * c, q * co:(q + 1) * co].set(w[:, kx])
+    return wf
+
+
 class Conv2d(nn.Module):
     """torch.nn.Conv2d semantics: NCHW input, OIHW kernel, symmetric pad."""
 
@@ -164,6 +228,19 @@ class Conv2d(nn.Module):
     padding: int = 0
     use_bias: bool = True
 
+    def _foldable(self, x: jnp.ndarray) -> bool:
+        k = self.kernel_size
+        if _FOLD == "k7" and k < 5:
+            # fold only the large-kernel (7x7 valid) class: its fold has
+            # just 1.14x FLOP redundancy and the largest measured win
+            return False
+        return (_FOLD and _LAYOUT == "NHWC" and self.stride == 1
+                and k > 1 and k % 2 == 1
+                and self.padding in (0, k // 2)
+                and 32 <= self.in_channels <= 64
+                and self.out_channels >= 32
+                and x.shape[2] % 2 == 0)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
@@ -172,17 +249,35 @@ class Conv2d(nn.Module):
             (self.out_channels, self.in_channels, k, k),
         )
         w = w.astype(x.dtype)
-        if _LAYOUT == "NHWC":
-            w = jnp.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
-            dn = ("NHWC", "HWIO", "NHWC")
+        if self._foldable(x):
+            # width-fold: exact same function, full-MXU-lane contraction
+            # (see use_fold; benchmarks/conv_experiments.json)
+            b, h, wd, c = x.shape
+            wf = _width_fold_kernel(jnp.transpose(w, (2, 3, 1, 0)),
+                                    self.padding)
+            pw = 0 if self.padding == 0 else (k // 2 + 1) // 2
+            y = lax.conv_general_dilated(
+                x.reshape(b, h, wd // 2, 2 * c), wf,
+                window_strides=(1, 1),
+                padding=((self.padding, self.padding), (pw, pw)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y.reshape(y.shape[0], y.shape[1], 2 * y.shape[2],
+                          self.out_channels)
         else:
-            dn = ("NCHW", "OIHW", "NCHW")
-        y = lax.conv_general_dilated(
-            x, w,
-            window_strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
-            dimension_numbers=dn,
-        )
+            if _LAYOUT == "NHWC":
+                wl = jnp.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+                dn = ("NHWC", "HWIO", "NHWC")
+            else:
+                wl = w
+                dn = ("NCHW", "OIHW", "NCHW")
+            y = lax.conv_general_dilated(
+                x, wl,
+                window_strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding),
+                         (self.padding, self.padding)),
+                dimension_numbers=dn,
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             b = b.astype(x.dtype)

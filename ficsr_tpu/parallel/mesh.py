@@ -28,9 +28,22 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 
 
 def shard_batch(mesh: Mesh, x, axis: str = "data"):
-    """Shard leading (batch) dimension across the mesh."""
+    """Shard leading (batch) dimension across the mesh.
+
+    Single-host: a plain device_put scatter.  Multi-host (pods): `x` is
+    this host's `global_batch/process_count` rows (see
+    data/prefetch.prefetch_batches' `shard=`), assembled into one global
+    jax.Array whose batch axis spans the whole mesh — per-host data
+    rides DCN only to local HBM; gradient psum rides ICI.
+    """
     sharding = NamedSharding(mesh, P(axis))
-    return jax.device_put(x, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    def put(arr):
+        global_shape = (arr.shape[0] * jax.process_count(),) + arr.shape[1:]
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(arr), global_shape)
+    return jax.tree.map(put, x)
 
 
 def replicate(mesh: Mesh, tree):

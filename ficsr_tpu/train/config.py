@@ -84,6 +84,18 @@ class TrainConfig:
     # faster — benchmarks/conv_experiments.json), NCHW elsewhere.
     # Parameters/checkpoints are layout-free (stored OIHW).
     layout: str = "auto"
+    # width-fold (space-to-depth) conv formulation inside the train step
+    # (models/layers.use_fold): exact same function, faster per-conv
+    # fwd+bwd for the 64-ch classes, but measured SLOWER composed into
+    # the full step — 'auto' resolves OFF (see resolve_conv_fold).
+    # 'on' folds every qualifying conv, 'k7' only the 7x7 valid stems.
+    conv_fold: str = "auto"
+    # reproduce the reference's cosine-branch scheduler bug
+    # (train.py:109-110: BOTH CosineAnnealingLR instances wrap
+    # optimizer_G): G's LR follows the double-stepped cosine = the
+    # squared multiplier, D's LR never decays.  Only meaningful with
+    # scheduler=False; default off = the intended cosine behavior.
+    cosine_bug_compat: bool = False
 
     @property
     def size_a_up(self) -> int:
@@ -105,6 +117,30 @@ def resolve_layout(layout: str = "auto", train: bool = False) -> str:
         return "NCHW"
     import jax
     return "NHWC" if jax.default_backend() == "tpu" else "NCHW"
+
+
+def resolve_conv_fold(config: "TrainConfig") -> bool:
+    """Whether the train step should trace with the width-fold convs.
+
+    Requires NHWC (the fold reshape is only free channels-last); 'auto'
+    enables it on TPU when the active layout is NHWC.
+    """
+    from ficsr_tpu.models.layers import get_layout
+    if config.conv_fold == "off":
+        return False
+    if get_layout() != "NHWC":
+        if config.conv_fold in ("on", "k7"):
+            raise ValueError(f"conv_fold={config.conv_fold!r} requires the "
+                             "NHWC layout (use --layout NHWC)")
+        return False
+    if config.conv_fold in ("on", "k7"):
+        return True if config.conv_fold == "on" else "k7"
+    # 'auto': measured OFF — the per-conv fwd+bwd wins (4.21 vs 5.08 ms
+    # 3x3/64ch, 3.60 vs 5.65 ms 7x7) do NOT survive composition in the
+    # full step (NHWC b16-bf16: 464 ms fold-off vs 518 ms fold-on —
+    # layout churn at each fold/unfold boundary).  Kept as an opt-in
+    # experiment; see benchmarks/README.md round-3 notes.
+    return False
 
 
 def apply_layout(config: "TrainConfig") -> str:

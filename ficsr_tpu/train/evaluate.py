@@ -32,8 +32,12 @@ __all__ = ["make_sr_infer", "eval_numbered", "eval_6m", "eval_6m_baseline",
            "train_eval", "score_pair"]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _sr_infer(variables, x, train_mode, bf16):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _sr_infer(variables, x, train_mode, bf16, layout):
+    # `layout` is part of the jit cache key only: the modules read the
+    # process-global layout at trace time, so keying on it here makes a
+    # later set_layout() retrace instead of silently reusing a program
+    # compiled for the old layout (ADVICE r2).
     lf, hf = frequency_split(x, *RADII_A)
     if bf16:
         lf, hf = lf.astype(jnp.bfloat16), hf.astype(jnp.bfloat16)
@@ -54,7 +58,11 @@ def make_sr_infer(variables: dict, train_mode: bool = False,
     closure — compiles cost minutes on the tunneled TPU.  bf16 runs the
     generator in bfloat16 activations (94.8 dB agreement with fp32).
     """
-    return lambda x: _sr_infer(variables, x, train_mode, bf16)
+    from ficsr_tpu.models.layers import get_layout
+
+    fn = lambda x: _sr_infer(variables, x, train_mode, bf16, get_layout())
+    fn.train_mode = train_mode  # read by _batched_scores' padding guard
+    return fn
 
 
 def score_pair(sr: np.ndarray, gt: np.ndarray) -> Dict[str, float]:
@@ -79,7 +87,13 @@ def _batched_scores(infer: Callable, pairs, batch: int):
     compiles exactly once per distinct image shape (eval-mode BN is
     batch-size independent).  The reference loops batch-1 per image
     (utils.py:182-214); batching is pure throughput — identical scores.
+
+    Padding is only score-identical under per-sample normalization: a
+    train-mode-BN `infer` (make_sr_infer(train_mode=True)) would let the
+    zero pad rows contaminate batch statistics of real rows, so for such
+    an infer the tail chunk runs unpadded (one extra compile) instead.
     """
+    pad_ok = not getattr(infer, "train_mode", False)
     groups: Dict[tuple, list] = {}
     for lr, hr in pairs:
         groups.setdefault(lr.shape, []).append((lr, hr))
@@ -88,7 +102,7 @@ def _batched_scores(infer: Callable, pairs, batch: int):
         for i in range(0, len(shaped), batch):
             chunk = shaped[i:i + batch]
             x = np.stack([c[0] for c in chunk])[:, None]
-            if len(chunk) < batch:
+            if len(chunk) < batch and pad_ok:
                 pad = np.zeros((batch - len(chunk),) + x.shape[1:], x.dtype)
                 x = np.concatenate([x, pad])
             sr = np.asarray(infer(jnp.asarray(x)))

@@ -22,7 +22,8 @@ from ficsr_tpu.parallel.mesh import (
     shard_train_step)
 from ficsr_tpu.train import evaluate
 from ficsr_tpu.train.config import TrainConfig
-from ficsr_tpu.train.schedule import cosine_annealing, lambda_linear_decay
+from ficsr_tpu.train.schedule import (
+    cosine_annealing, cosine_bug_multipliers, lambda_linear_decay)
 from ficsr_tpu.train.state import TrainState, create_train_state
 from ficsr_tpu.train.step import build_train_step
 
@@ -48,11 +49,15 @@ def save_sample(sample_dir: str, epoch: int, array: np.ndarray,
 
 def _batch_iter(dataset: ImageDataset, batch: int, epoch: int,
                 num_workers: int = 2):
-    """Prefetched stacked uint8 (B,H,W) batches; drops the ragged tail."""
+    """Prefetched stacked uint8 (B,H,W) batches; drops the ragged tail.
+
+    On multi-host pods each process loads only its rows of the global
+    batch (deterministic partition — prefetch_batches `shard=`)."""
     from ficsr_tpu.data.prefetch import prefetch_batches
 
-    yield from prefetch_batches(dataset, batch, epoch,
-                                num_workers=num_workers)
+    yield from prefetch_batches(
+        dataset, batch, epoch, num_workers=num_workers,
+        shard=(jax.process_index(), jax.process_count()))
 
 
 def train(config: TrainConfig, state: Optional[TrainState] = None,
@@ -62,7 +67,10 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
     apply_layout(config)  # measured training policy: NCHW (auto);
     # --layout NHWC overrides (docs/architecture.md §6)
     # validate data before any (minutes-long) device compilation
-    dataset = ImageDataset(config.dataroot, unaligned=True, seed=config.seed)
+    # (seed offset: each host's unaligned-B stream must differ, else all
+    # hosts pick correlated B images for their disjoint A rows)
+    dataset = ImageDataset(config.dataroot, unaligned=True,
+                           seed=config.seed + jax.process_index())
     print(len(dataset))
     test_dataset = None
     if os.path.isdir(os.path.join(config.test_path, "LR")):
@@ -85,14 +93,31 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
 
     from ficsr_tpu.train.checkpoint import CheckpointWriter
     ckpt_writer = CheckpointWriter(config.output_dir)
+    try:
+        state = _train_epochs(config, state, step_fn, put, dataset,
+                              test_dataset, rng, ckpt_writer, max_steps)
+    finally:
+        # drain pending async checkpoint writes on EVERY exit path
+        # (exception/KeyboardInterrupt included) — a staged-but-unwritten
+        # save must not be lost (ADVICE r2)
+        ckpt_writer.close()
+    return state
+
+
+def _train_epochs(config, state, step_fn, put, dataset, test_dataset, rng,
+                  ckpt_writer, max_steps):
     total_steps = 0
     for epoch in range(config.epoch, config.n_epochs):
         if config.scheduler:
             scale = lambda_linear_decay(
                 epoch, config.n_epochs, config.epoch, config.decay_epoch)
+            lr = config.lr * scale
+        elif config.cosine_bug_compat:
+            sg, sd = cosine_bug_multipliers(epoch, config.n_epochs)
+            lr = (config.lr * sg, config.lr * sd)
         else:
             scale = cosine_annealing(epoch, config.n_epochs)
-        lr = config.lr * scale
+            lr = config.lr * scale
 
         real_out = fake_out = None
         t0, seen = time.time(), 0
@@ -103,6 +128,11 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
             nonlocal rng
             a_u8, b_u8 = batch
             rng, ka, kb = jax.random.split(rng, 3)
+            if jax.process_count() > 1:
+                # decorrelate per-host crop randomness (same base stream
+                # on every host by construction)
+                ka = jax.random.fold_in(ka, jax.process_index())
+                kb = jax.random.fold_in(kb, jax.process_index())
             real_a = put(preprocess_train_a(
                 jnp.asarray(a_u8), config.sizeA, ka))
             real_b = put(preprocess_train_b(
@@ -162,5 +192,4 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
         if max_steps is not None and total_steps >= max_steps:
             break
 
-    ckpt_writer.close()
     return state

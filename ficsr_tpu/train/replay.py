@@ -3,12 +3,24 @@
 The reference's ReplayBuffer shuttles fakes through a Python list on
 every step — a host round-trip per image.  Here the 50-slot history is
 a device-resident array inside the train state, and push_and_pop is a
-jittable `lax.scan` over the batch with explicit PRNG, preserving the
-reference's per-element semantics exactly:
+single vectorized gather/scatter with explicit PRNG, preserving the
+reference's *sequential* per-element semantics exactly:
 
   * while not full: store the element, return the element
   * when full: with p=0.5 return a uniformly random stored element and
     replace it with the incoming one, else return the incoming one
+
+Sequential semantics matter within a batch: element i may pop a fake
+that element j<i pushed into the same slot moments earlier.  The
+vectorized form resolves that dependency in closed form — element i's
+read is the *last previous writer* of its slot (an (N,N) boolean
+collision matrix over scalar slot ids, then one batch gather), and the
+final buffer keeps each slot's *last* writer (a unique-index scatter).
+Bit-identical to the r2 `lax.scan` formulation (same per-element key
+schedule — pinned by tests/test_train.py::test_replay_vectorized_*),
+without the scan's N sequential dynamic-update-slices: the r2 profile
+measured the scan at 3.6 ms/step at b16 (~0.7% of the step) and growing
+linearly with batch.
 """
 
 from __future__ import annotations
@@ -19,7 +31,8 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ReplayBufferState", "replay_init", "push_and_pop"]
+__all__ = ["ReplayBufferState", "replay_init", "push_and_pop",
+           "push_and_pop_scan"]
 
 
 @flax.struct.dataclass
@@ -36,10 +49,62 @@ def replay_init(max_size: int, shape: Tuple[int, ...],
     )
 
 
+def _element_draws(rng: jax.Array, n: int, max_size: int):
+    """Per-element (coin, rand_idx) with the exact key schedule of the
+    sequential formulation: keys = split(rng, n); per element
+    k_coin, k_idx = split(key)."""
+    keys = jax.random.split(rng, n)
+    sub = jax.vmap(lambda k: jax.random.split(k))(keys)   # (n, 2, 2)
+    coin = jax.vmap(jax.random.uniform)(sub[:, 0]) > 0.5
+    rand_idx = jax.vmap(
+        lambda k: jax.random.randint(k, (), 0, max_size))(sub[:, 1])
+    return coin, rand_idx
+
+
 def push_and_pop(state: ReplayBufferState, batch: jnp.ndarray,
                  rng: jax.Array) -> Tuple[ReplayBufferState, jnp.ndarray]:
     """Push a (N,C,H,W) batch of fakes; return the (N,C,H,W) batch to
-    train the discriminator on."""
+    train the discriminator on.  Vectorized; bit-identical to
+    `push_and_pop_scan`."""
+    max_size = state.data.shape[0]
+    n = batch.shape[0]
+    coin, rand_idx = _element_draws(rng, n, max_size)
+
+    idx = jnp.arange(n)
+    size_at = jnp.minimum(state.size + idx, max_size)   # size seen by elem i
+    not_full = size_at < max_size
+    slot = jnp.where(not_full, size_at, rand_idx).astype(jnp.int32)
+    write = jnp.logical_or(not_full, coin)
+    swap = jnp.logical_and(jnp.logical_not(not_full), coin)
+
+    # element i reads its slot as left by the last previous writer j<i
+    # (or the pre-batch buffer if none)
+    eq = slot[:, None] == slot[None, :]                       # (i, j)
+    prev_writer = eq & write[None, :] & (idx[None, :] < idx[:, None])
+    last_prev = jnp.max(jnp.where(prev_writer, idx[None, :], -1), axis=1)
+    has_prev = last_prev >= 0
+    bshape = (n,) + (1,) * (batch.ndim - 1)
+    old = jnp.where(has_prev.reshape(bshape),
+                    batch[jnp.maximum(last_prev, 0)],
+                    state.data[slot].astype(batch.dtype))
+    out = jnp.where(swap.reshape(bshape), old, batch)
+
+    # final buffer: each slot keeps its LAST writer -> unique-index
+    # scatter (non-last / non-writers are routed out of bounds, dropped)
+    later_writer = eq & write[None, :] & (idx[None, :] > idx[:, None])
+    is_last = write & jnp.logical_not(jnp.any(later_writer, axis=1))
+    scatter_slot = jnp.where(is_last, slot, max_size)
+    data = state.data.at[scatter_slot].set(
+        batch.astype(state.data.dtype), mode="drop")
+    size = jnp.minimum(state.size + n, max_size).astype(jnp.int32)
+    return ReplayBufferState(data=data, size=size), out
+
+
+def push_and_pop_scan(state: ReplayBufferState, batch: jnp.ndarray,
+                      rng: jax.Array
+                      ) -> Tuple[ReplayBufferState, jnp.ndarray]:
+    """The r2 sequential `lax.scan` formulation — kept as the executable
+    spec the vectorized path is tested against."""
     max_size = state.data.shape[0]
 
     def step(carry, inp):

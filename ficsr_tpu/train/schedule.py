@@ -6,14 +6,16 @@ re-compilation per epoch.
 
 The reference's cosine branch contains a bug (both schedulers wrap
 optimizer_G, train.py:109-110) — we implement the *intended* behavior
-and note the divergence.
+by default and the bug-exact behavior behind
+``TrainConfig.cosine_bug_compat`` (see `cosine_bug_multipliers`).
 """
 
 from __future__ import annotations
 
 import math
 
-__all__ = ["lambda_linear_decay", "cosine_annealing"]
+__all__ = ["lambda_linear_decay", "cosine_annealing",
+           "cosine_bug_multipliers"]
 
 
 def lambda_linear_decay(epoch: int, n_epochs: int, offset: int,
@@ -28,3 +30,18 @@ def lambda_linear_decay(epoch: int, n_epochs: int, offset: int,
 def cosine_annealing(epoch: int, t_max: int, eta_min: float = 0.0) -> float:
     """CosineAnnealingLR multiplier with eta_min=0 (train.py:109)."""
     return eta_min + (1.0 - eta_min) * (1 + math.cos(math.pi * epoch / t_max)) / 2
+
+
+def cosine_bug_multipliers(epoch: int, t_max: int) -> tuple:
+    """(g_scale, d_scale) reproducing the reference's cosine-branch bug.
+
+    `train.py:109-110` constructs BOTH CosineAnnealingLR schedulers on
+    `optimizer_G`, so per epoch optimizer_G's LR is stepped through the
+    recursive cosine update twice while optimizer_D's LR is never
+    touched.  CosineAnnealingLR's recursion with eta_min=0 multiplies by
+    r(t) = (1+cos(pi*t/T)) / (1+cos(pi*(t-1)/T)) each step, which
+    telescopes, so double-stepping yields exactly the SQUARED cosine
+    multiplier for G — and a constant 1.0 for D.
+    """
+    g = ((1 + math.cos(math.pi * epoch / t_max)) / 2) ** 2
+    return g, 1.0

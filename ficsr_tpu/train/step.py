@@ -279,16 +279,28 @@ def build_train_step(config: TrainConfig, jit: bool = True,
     """
     tx = make_optimizer()
     g_loss_fn, d_loss_fn = build_loss_fns(config)
+    from ficsr_tpu.train.config import resolve_conv_fold
+    fold = resolve_conv_fold(config)
 
     def train_step(state: TrainState, real_a, real_b, lr
                    ) -> Tuple[TrainState, Dict[str, Any]]:
+        from ficsr_tpu.models.layers import use_fold
+        with use_fold(fold):
+            return _step_body(state, real_a, real_b, lr)
+
+    def _step_body(state: TrainState, real_a, real_b, lr
+                   ) -> Tuple[TrainState, Dict[str, Any]]:
         rng, k_buf_a, k_buf_b = jax.random.split(state.rng, 3)
+        # lr may be a scalar (both optimizers) or a (lr_g, lr_d) pair —
+        # the cosine_bug_compat schedule decays G and D differently
+        # (reference train.py:109-110 wires BOTH schedulers to opt_G)
+        lr_g, lr_d = lr if isinstance(lr, (tuple, list)) else (lr, lr)
 
         # ---- G phase ----
         (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.g_params, state.g_stats, state.d_params, state.d_stats,
             real_a, real_b)
-        g_opt = _with_lr(state.g_opt, lr)
+        g_opt = _with_lr(state.g_opt, lr_g)
         g_updates, g_opt = tx.update(g_grads, g_opt, state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
@@ -300,7 +312,7 @@ def build_train_step(config: TrainConfig, jit: bool = True,
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params, g_aux["d_stats"], real_a, real_b,
             fake_a_pool, fake_b_pool)
-        d_opt = _with_lr(state.d_opt, lr)
+        d_opt = _with_lr(state.d_opt, lr_d)
         d_updates, d_opt = tx.update(d_grads, d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 

@@ -1,0 +1,172 @@
+"""Width-fold (space-to-depth) conv formulation equivalence.
+
+The train step may trace qualifying Conv2d calls as an algebraically
+identical conv on a width-folded NHWC layout (models/layers.use_fold —
+round-3 MFU work, benchmarks/conv_experiments.json).  These tests pin
+that the folded formulation computes the SAME function — values and
+gradients — as the plain conv, for every qualifying shape class in the
+reference models (model.py:423-442 shallowNet ResBlocks, :444-480
+ResnetGenerator stems), and that non-qualifying convs are untouched.
+
+Also covers the cosine-scheduler bug-compat flag (reference
+train.py:109-110) against a torch-golden simulation of the actual bug.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ficsr_tpu.models.layers import (
+    Conv2d, get_fold, use_fold, use_layout)
+
+
+def _init_and_apply(mod, x, fold):
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    with use_fold(fold):
+        return variables, mod.apply(variables, x)
+
+
+@pytest.mark.parametrize("cin,cout,k,pad,hw", [
+    (64, 64, 3, 1, 32),    # class A: shallow_up ResBlock convs
+    (64, 128, 3, 1, 32),   # shallow_frequency widening conv
+    (64, 64, 7, 0, 38),    # class C: resnet stem after ReflectionPad(3)
+    (33, 64, 3, 1, 32),    # odd channel count still inside [32, 64]
+])
+def test_fold_matches_plain(rng, cin, cout, k, pad, hw):
+    with use_layout("NHWC"):
+        mod = Conv2d(cin, cout, k, stride=1, padding=pad)
+        x = jnp.asarray(rng.standard_normal((2, hw, hw, cin)),
+                        jnp.float32)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        with use_fold(False):
+            y_plain = mod.apply(variables, x)
+        with use_fold(True):
+            y_fold = mod.apply(variables, x)
+        assert y_fold.shape == y_plain.shape
+        np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_plain),
+                                   atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("k,pad", [(3, 1), (7, 0)])
+def test_fold_gradient_equivalence(rng, k, pad):
+    """d/dparams and d/dx agree between folded and plain formulations."""
+    with use_layout("NHWC"):
+        mod = Conv2d(64, 64, k, stride=1, padding=pad)
+        x = jnp.asarray(rng.standard_normal((2, 20, 20, 64)), jnp.float32)
+        variables = mod.init(jax.random.PRNGKey(1), x)
+
+        def loss(v, x, fold):
+            with use_fold(fold):
+                return jnp.mean(jnp.square(mod.apply(v, x)))
+
+        g_plain = jax.grad(loss, argnums=(0, 1))(variables, x, False)
+        g_fold = jax.grad(loss, argnums=(0, 1))(variables, x, True)
+        for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_fold)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4)
+
+
+def test_fold_skips_nonqualifying(rng):
+    """Strided / wide / narrow / NCHW convs take the plain path."""
+    cases = [
+        dict(mod=Conv2d(128, 64, 3, padding=1), shape=(1, 8, 8, 128)),
+        dict(mod=Conv2d(64, 64, 4, stride=2, padding=1),
+             shape=(1, 8, 8, 64)),
+        dict(mod=Conv2d(64, 1, 3, padding=1), shape=(1, 8, 8, 64)),
+        dict(mod=Conv2d(1, 64, 3, padding=1), shape=(1, 8, 8, 1)),
+    ]
+    with use_layout("NHWC"):
+        for case in cases:
+            x = jnp.asarray(rng.standard_normal(case["shape"]), jnp.float32)
+            v = case["mod"].init(jax.random.PRNGKey(0), x)
+            with use_fold(False):
+                y0 = case["mod"].apply(v, x)
+            with use_fold(True):
+                y1 = case["mod"].apply(v, x)
+            np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    # NCHW layout: fold is a no-op even for qualifying shapes
+    with use_layout("NCHW"), use_fold(True):
+        mod = Conv2d(64, 64, 3, padding=1)
+        x = jnp.asarray(rng.standard_normal((1, 64, 8, 8)), jnp.float32)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        assert mod.apply(v, x).shape == (1, 64, 8, 8)
+
+
+def test_fold_odd_width_skipped(rng):
+    """Odd input width cannot reshape — must fall back, same result."""
+    with use_layout("NHWC"):
+        mod = Conv2d(64, 64, 3, padding=1)
+        x = jnp.asarray(rng.standard_normal((1, 9, 9, 64)), jnp.float32)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        with use_fold(True):
+            y = mod.apply(v, x)
+        with use_fold(False):
+            y0 = mod.apply(v, x)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y0))
+
+
+def test_fold_is_trace_scoped():
+    assert not get_fold()
+    with use_fold(True):
+        assert get_fold()
+    assert not get_fold()
+
+
+@pytest.mark.slow
+def test_generator_fold_equivalence(rng):
+    """Full NetworkA2B forward agrees fold-on vs fold-off (NHWC)."""
+    from ficsr_tpu.train.state import MODELS
+    with use_layout("NHWC"):
+        a2b = MODELS["a2b"]
+        lf = jnp.asarray(rng.standard_normal((1, 1, 64, 64)), jnp.float32)
+        hf = jnp.asarray(rng.standard_normal((1, 1, 64, 64)), jnp.float32)
+        variables = a2b.init(jax.random.PRNGKey(0), lf, hf, train=False)
+        with use_fold(False):
+            out0, _ = a2b.apply(variables, lf, hf, train=False,
+                                mutable=["batch_stats"])
+        with use_fold(True):
+            out1, _ = a2b.apply(variables, lf, hf, train=False,
+                                mutable=["batch_stats"])
+        for a, b in zip(out0, out1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Cosine scheduler bug-compat (reference train.py:109-110)
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_bug_multipliers_match_torch_golden():
+    """Simulate the reference's actual bug with torch schedulers: both
+    CosineAnnealingLR instances wrapping optimizer_G.  Our closed-form
+    (g=cos^2 multiplier, d=1) must match torch's recursive stepping."""
+    torch = pytest.importorskip("torch")
+    from ficsr_tpu.train.schedule import cosine_bug_multipliers
+
+    lr0, t_max = 2e-4, 20
+    pg = torch.nn.Parameter(torch.zeros(1))
+    pd = torch.nn.Parameter(torch.zeros(1))
+    opt_g = torch.optim.AdamW([pg], lr=lr0)
+    opt_d = torch.optim.AdamW([pd], lr=lr0)
+    # the bug: BOTH schedulers wrap opt_g (reference train.py:109-110)
+    sch_g = torch.optim.lr_scheduler.CosineAnnealingLR(opt_g, T_max=t_max)
+    sch_d = torch.optim.lr_scheduler.CosineAnnealingLR(opt_g, T_max=t_max)
+    for epoch in range(t_max):
+        g_scale, d_scale = cosine_bug_multipliers(epoch, t_max)
+        assert abs(opt_g.param_groups[0]["lr"] - lr0 * g_scale) < 1e-12, epoch
+        assert abs(opt_d.param_groups[0]["lr"] - lr0 * d_scale) < 1e-12, epoch
+        sch_g.step()
+        sch_d.step()
+
+
+def test_train_step_accepts_lr_pair(rng, fast_state, fast_step):
+    """The jitted step takes (lr_g, lr_d) and applies them separately."""
+    ra = jnp.asarray(rng.standard_normal((1, 1, 64, 64)), jnp.float32)
+    rb = jnp.asarray(rng.standard_normal((1, 1, 64, 64)), jnp.float32)
+    new, _ = fast_step(fast_state, ra, rb, (2e-4, 1.3e-4))
+    g_lr = float(new.g_opt.hyperparams["learning_rate"])
+    d_lr = float(new.d_opt.hyperparams["learning_rate"])
+    assert abs(g_lr - 2e-4) < 1e-9
+    assert abs(d_lr - 1.3e-4) < 1e-9

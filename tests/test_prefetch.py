@@ -60,3 +60,44 @@ def test_prefetch_propagates_loader_errors():
     next(it)  # first batch fine
     with pytest.raises(RuntimeError, match="decode boom"):
         list(it)
+
+
+# --- per-host sharding (SURVEY §5 multi-host data loading) -------------------
+
+
+def test_sharded_prefetch_partitions_global_batch():
+    """Union over hosts == global batch, rows disjoint and in order."""
+    ds = _FakeDataset(16)
+    count = 4
+    per_host = []
+    for index in range(count):
+        per_host.append(list(prefetch_batches(
+            ds, 8, epoch=3, num_workers=1, shard=(index, count))))
+    n_batches = len(per_host[0])
+    assert n_batches == 2
+    global_ref = list(prefetch_batches(ds, 8, epoch=3, num_workers=1))
+    for b in range(n_batches):
+        glob_a = np.concatenate([per_host[i][b][0] for i in range(count)])
+        glob_b = np.concatenate([per_host[i][b][1] for i in range(count)])
+        np.testing.assert_array_equal(glob_a, global_ref[b][0])
+        np.testing.assert_array_equal(glob_b, global_ref[b][1])
+        # each host got exactly batch/count rows
+        for i in range(count):
+            assert per_host[i][b][0].shape[0] == 2
+
+
+def test_sharded_prefetch_deterministic_per_host():
+    ds = _FakeDataset(12)
+    one = list(prefetch_batches(ds, 6, epoch=1, shard=(1, 3)))
+    two = list(prefetch_batches(ds, 6, epoch=1, shard=(1, 3)))
+    for (a1, b1), (a2, b2) in zip(one, two):
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(b1, b2)
+
+
+def test_sharded_prefetch_validates():
+    ds = _FakeDataset(8)
+    with pytest.raises(ValueError):
+        list(prefetch_batches(ds, 8, epoch=0, shard=(3, 2)))
+    with pytest.raises(ValueError):
+        list(prefetch_batches(ds, 7, epoch=0, shard=(0, 2)))

@@ -227,3 +227,26 @@ def test_cli_surface_matches_reference():
         # NB --pretrained/--scheduler/--B2A defaults match; the reference's
         # type=bool PARSING bug is deliberately not reproduced
         assert got == default, f"--{name}: {got} != reference {default}"
+
+
+def test_replay_vectorized_matches_scan():
+    """The vectorized push_and_pop is bit-identical to the sequential
+    scan spec — filling, full-with-collisions, and mixed regimes."""
+    from ficsr_tpu.train.replay import push_and_pop_scan
+
+    for max_size, n, fills, seed in [(4, 6, 0, 0), (3, 8, 1, 1),
+                                     (50, 16, 4, 2), (2, 5, 1, 3)]:
+        buf_v = replay_init(max_size, (1, 2, 2))
+        buf_s = replay_init(max_size, (1, 2, 2))
+        rs = np.random.RandomState(seed)
+        for it in range(fills + 3):
+            batch = jnp.asarray(
+                rs.standard_normal((n, 1, 2, 2)), jnp.float32)
+            key = jax.random.PRNGKey(seed * 100 + it)
+            buf_v, out_v = push_and_pop(buf_v, batch, key)
+            buf_s, out_s = push_and_pop_scan(buf_s, batch, key)
+            np.testing.assert_array_equal(np.asarray(out_v),
+                                          np.asarray(out_s))
+            np.testing.assert_array_equal(np.asarray(buf_v.data),
+                                          np.asarray(buf_s.data))
+            assert int(buf_v.size) == int(buf_s.size)
