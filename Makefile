@@ -31,5 +31,12 @@ dryrun:
 	import os; os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')+' --xla_force_host_platform_device_count=8'; \
 	import __graft_entry__ as g; g.dryrun_multichip(8)"
 
+# the exact BASELINE config-4 program (256^2, d_layers=5) on the
+# virtual mesh — slow on 1 CPU core; the fast dryrun above is the gate
+dryrun-production:
+	python -c "import jax; jax.config.update('jax_platforms','cpu'); \
+	import os; os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')+' --xla_force_host_platform_device_count=8'; \
+	import __graft_entry__ as g; g.dryrun_multichip(8, production=True)"
+
 lint:
 	python -m pyflakes ficsr_tpu tests *.py 2>/dev/null || true

@@ -129,13 +129,23 @@ def main():
         sps = measure_train(batch=tb, bf16=bf16, layout=args.layout,
                             conv_fold=args.conv_fold,
                             iters=5 if platform == "cpu" else 20)
+        # vs_baseline: reference torch train step on this host's CPU
+        # (benchmarks/torch_train_baseline.py — the reference's native
+        # batch 1), compared on an images/sec basis
+        tb_path = os.path.join(os.path.dirname(__file__), "benchmarks",
+                               "baseline_cpu_train.json")
+        vs = None
+        if os.path.isfile(tb_path):
+            with open(tb_path) as f:
+                ref_sps = json.load(f)["torch_cpu_train_steps_per_sec"]
+            vs = (sps * tb) / ref_sps  # ref batch is 1
         print(json.dumps({
             "metric": f"octa_cyclegan_train_256px_b{tb}"
                       + ("_bf16" if bf16 else ""),
             "value": round(sps, 2),
             "unit": "steps/sec/chip",
             "ms_per_step": round(1e3 / sps, 1),
-            "vs_baseline": None,
+            "vs_baseline": round(vs, 1) if vs is not None else None,
             "platform": platform,
         }))
         return

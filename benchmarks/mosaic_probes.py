@@ -116,6 +116,25 @@ def p3():
     assert abs(float(out[0, 0, 5, 0]) - 9 * 64 * 0.01) < 0.1
 
 
+def versions() -> str:
+    """jax/jaxlib/libtpu versions — print with every probe run so BACKLOG
+    records exactly which toolchain each pass/fail belongs to."""
+    import importlib.metadata as md
+    parts = [f"jax={jax.__version__}"]
+    for pkg in ("jaxlib", "libtpu", "libtpu-nightly"):
+        try:
+            parts.append(f"{pkg}={md.version(pkg)}")
+        except md.PackageNotFoundError:
+            pass
+    try:
+        parts.append(
+            "platform_version=" + jax.devices()[0].client.platform_version)
+    except Exception:
+        pass
+    return " ".join(parts)
+
+
 if __name__ == "__main__":
+    print(f"# {versions()}", flush=True)
     for p in (p1, p2, p3):
         p()

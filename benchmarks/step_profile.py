@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--phases-only", action="store_true",
                     help="skip the per-component micro rows; measure "
                          "G phase / D phase / replay / full step only")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip rows already present in the output json "
+                         "(crash-resumable slicing on the slow "
+                         "remote-compile tunnel)")
     args = ap.parse_args()
     b, it = args.batch, args.iters
     dt = jnp.float32 if args.fp32 else jnp.bfloat16
@@ -66,11 +70,26 @@ def main():
     lf, hf = frequency_split(ra, *RADII_A)
     lf, hf = lf.astype(dt), hf.astype(dt)
 
+    tag = (f"b{b}_{'fp32' if args.fp32 else 'bf16'}"
+           + ("_remat" if args.remat else "")
+           + ("_fused" if args.fused else ""))
+    out = os.path.join(os.path.dirname(__file__), f"step_profile_{tag}.json")
     res = {}
+    if os.path.isfile(out):
+        with open(out) as fh:
+            res.update(json.load(fh))  # preserved; refreshed rows overwrite
 
-    def rec(name, ms):
+    def rec(name, thunk):
+        # lazy: the measurement (jit compile + run) only happens when
+        # the row is actually needed — --resume slices re-run cleanly
+        if args.resume and name in res:
+            print(f"{name:28s} {res[name]:8.2f} ms (cached)", flush=True)
+            return
+        ms = thunk()
         res[name] = round(ms, 2)
         print(f"{name:28s} {ms:8.2f} ms", flush=True)
+        with open(out, "w") as fh:
+            json.dump(res, fh, indent=1)
 
     micro = not args.phases_only
 
@@ -78,7 +97,7 @@ def main():
     def f_split(x, acc):
         a, bb = frequency_split(x, *RADII_A)
         return acc + jnp.mean(a) + jnp.mean(bb)
-    micro and rec("freq_split", honest(f_split, (ra,), it))
+    micro and rec("freq_split", lambda: honest(f_split, (ra,), it))
 
     a2b = MODELS["a2b"]
     va = {"params": state.g_params["a2b"], "batch_stats": state.g_stats["a2b"]}
@@ -87,7 +106,7 @@ def main():
     def f_fwd(lf, hf, acc):
         out, mut = a2b.apply(va, lf, hf, train=True, mutable=["batch_stats"])
         return acc + jnp.mean(out[2].astype(jnp.float32)) + tree_acc(mut)
-    micro and rec("a2b fwd (train BN)", honest(f_fwd, (lf, hf), it))
+    micro and rec("a2b fwd (train BN)", lambda: honest(f_fwd, (lf, hf), it))
 
     @jax.jit
     def f_fwdbwd(lf, hf, acc):
@@ -97,7 +116,7 @@ def main():
             return jnp.mean(jnp.square(out[2].astype(jnp.float32))), mut
         (v, mut), g = jax.value_and_grad(loss, has_aux=True)(va["params"])
         return acc + v + tree_acc(g) + tree_acc(mut)
-    micro and rec("a2b fwd+bwd", honest(f_fwdbwd, (lf, hf), it))
+    micro and rec("a2b fwd+bwd", lambda: honest(f_fwdbwd, (lf, hf), it))
 
     da = MODELS["da"]
     vd = {"params": state.d_params["da"], "batch_stats": state.d_stats["da"]}
@@ -107,7 +126,7 @@ def main():
     def d_fwd(x, acc):
         out, mut = da.apply(vd, x, train=True, mutable=["batch_stats"])
         return acc + jnp.mean(out.astype(jnp.float32)) + tree_acc(mut)
-    micro and rec("D fwd", honest(d_fwd, (img,), it))
+    micro and rec("D fwd", lambda: honest(d_fwd, (img,), it))
 
     @jax.jit
     def d_fwdbwd(x, acc):
@@ -117,23 +136,29 @@ def main():
             return jnp.mean(jnp.square(out.astype(jnp.float32))), mut
         (v, mut), g = jax.value_and_grad(loss, has_aux=True)(vd["params"])
         return acc + v + tree_acc(g) + tree_acc(mut)
-    micro and rec("D fwd+bwd", honest(d_fwdbwd, (img,), it))
+    micro and rec("D fwd+bwd", lambda: honest(d_fwdbwd, (img,), it))
 
     @jax.jit
     def g_phase(gp, acc):
         (l, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             gp, state.g_stats, state.d_params, state.d_stats, ra, rb)
-        # fold aux too (fakes + BN running-stat updates) — dropping it
-        # lets XLA DCE those update chains and under-report the phase
-        return acc + l + tree_acc(grads) + tree_acc(aux)
-    rec("G phase (loss fwd+bwd)", honest(g_phase, (state.g_params,), it))
+        # fold the BN running-stat updates too — dropping them lets XLA
+        # DCE those update chains and under-report the phase.  The
+        # fake_a/fake_b aux images are NOT folded: they already feed the
+        # GAN losses (not DCE-able), and keeping the stop_gradient
+        # copies live as outputs pushes the b16 probe past HBM.
+        return acc + l + tree_acc(grads) \
+            + tree_acc(aux["g_stats"]) + tree_acc(aux["metrics"])
+    rec("G phase (loss fwd+bwd)",
+        lambda: honest(g_phase, (state.g_params,), it))
 
     @jax.jit
     def d_phase(dp, acc):
         (l, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             dp, state.d_stats, ra, rb, ra, rb)
         return acc + l + tree_acc(grads) + tree_acc(aux)
-    rec("D phase (loss fwd+bwd)", honest(d_phase, (state.d_params,), it))
+    rec("D phase (loss fwd+bwd)",
+        lambda: honest(d_phase, (state.d_params,), it))
 
     zeros_g = jax.tree.map(jnp.zeros_like, state.g_params)
 
@@ -143,7 +168,7 @@ def main():
         import optax
         newp = optax.apply_updates(gp, upd)
         return acc + tree_acc(newp)
-    rec("adamw G update", honest(opt_g, (state.g_params,), it))
+    rec("adamw G update", lambda: honest(opt_g, (state.g_params,), it))
 
     from ficsr_tpu.train.replay import push_and_pop
     k = jax.random.PRNGKey(3)
@@ -152,7 +177,8 @@ def main():
     def replay(buf, x, acc):
         nb, out = push_and_pop(buf, x, k)
         return acc + jnp.sum(out) + jnp.sum(nb.data[0])
-    rec("replay push_and_pop", honest(replay, (state.buf_a, ra), it))
+    rec("replay push_and_pop",
+        lambda: honest(replay, (state.buf_a, ra), it))
 
     from ficsr_tpu.train.step import build_train_step
     step = build_train_step(cfg, donate=False)
@@ -162,14 +188,8 @@ def main():
         nonlocal st
         st, m = step(st, ra, rb, 1.3e-4)
         return acc + m["loss_G"]
-    rec("FULL train step", honest(full, (None,), it))
+    rec("FULL train step", lambda: honest(full, (None,), it))
 
-    tag = (f"b{b}_{'fp32' if args.fp32 else 'bf16'}"
-           + ("_remat" if args.remat else "")
-           + ("_fused" if args.fused else ""))
-    out = os.path.join(os.path.dirname(__file__), f"step_profile_{tag}.json")
-    with open(out, "w") as fh:
-        json.dump(res, fh, indent=1)
     print("wrote", out)
 
 

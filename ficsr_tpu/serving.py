@@ -30,7 +30,8 @@ from jax import export as jexport
 from ficsr_tpu.ops.freq import RADII_A, frequency_split
 from ficsr_tpu.train.state import MODELS
 
-__all__ = ["export_sr", "load_sr", "make_infer_fn"]
+__all__ = ["export_sr", "load_sr", "export_sr_compiled",
+           "load_sr_compiled", "make_infer_fn"]
 
 
 def make_infer_fn(variables: dict, bf16: bool = False) -> Callable:
@@ -69,10 +70,68 @@ def export_sr(variables: dict, size: int = 256, bf16: bool = False,
 
 
 def load_sr(path_or_bytes) -> Callable:
-    """Load a serialized artifact; returns `f(x: (N,1,H,W) float32)`."""
+    """Load a serialized artifact; returns `f(x: (N,1,H,W) float32)`.
+
+    NOTE (measured, r3): on the tunneled axon TPU runtime the spliced
+    `call_module` this produces executes ~400x slower than the natively
+    jitted function (b1: 225-810 ms across runs vs 2.1 ms — benchmarks/serving_latency
+    .json); on CPU and standard TPU runtimes it compiles into the outer
+    program normally.  For same-platform production serving use the
+    AOT-compiled artifact below, which preserves the fully optimized
+    executable.
+    """
     blob = path_or_bytes
     if isinstance(blob, str):
         with open(blob, "rb") as fh:
             blob = fh.read()
     exported = jexport.deserialize(blob)
     return lambda x: exported.call(x)
+
+
+def export_sr_compiled(variables: dict, size: int = 256, batch: int = 1,
+                       bf16: bool = False) -> bytes:
+    """AOT-compile SR inference and serialize the *compiled executable*
+    (jax.experimental.serialize_executable).
+
+    Unlike the StableHLO artifact this is same-platform/same-topology
+    and fixed-batch, but it ships XLA's fully optimized binary — zero
+    compile at load time and native-jit performance.  Export one blob
+    per serving shape (e.g. batch=1 for latency, batch=128 for the
+    throughput sweet spot on v5e).
+    """
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    fn = make_infer_fn(variables, bf16=bf16)
+    # pin the executable to ONE device: on multi-device hosts an
+    # unpinned lowering round-trips through deserialize expecting
+    # device_count shards for single-device arrays
+    dev = jax.devices()[0]
+    sharding = jax.sharding.SingleDeviceSharding(dev)
+    spec = jax.ShapeDtypeStruct((batch, 1, size, size), jnp.float32,
+                                sharding=sharding)
+    compiled = jax.jit(fn).lower(spec).compile()
+    payload, in_tree, out_tree = se.serialize(compiled)
+    return pickle.dumps(
+        {"payload": payload, "in_tree": in_tree, "out_tree": out_tree,
+         "batch": batch, "size": size})
+
+
+def load_sr_compiled(path_or_bytes) -> Callable:
+    """Load an `export_sr_compiled` blob; returns the compiled callable
+    (input shape fixed to the exported (batch, 1, size, size))."""
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    blob = path_or_bytes
+    if isinstance(blob, str):
+        with open(blob, "rb") as fh:
+            blob = fh.read()
+    d = pickle.loads(blob)
+    # execution_devices defaults to ALL local devices, which mismatches
+    # the single-device executable on multi-device hosts — pin device 0
+    return se.deserialize_and_load(d["payload"], d["in_tree"],
+                                   d["out_tree"],
+                                   execution_devices=[jax.devices()[0]])
