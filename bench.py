@@ -30,13 +30,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
 
-def _apply_layout(train: bool = False, layout: str = "auto"):
-    """Measured-fastest layout (inference: NHWC on TPU; training: NCHW —
-    see resolve_layout), unless --layout NCHW/NHWC overrides."""
+def _apply_layout(train: bool = False, layout: str = "auto",
+                  batch: int = None):
+    """Measured-fastest layout (inference: NHWC on TPU; training: NHWC
+    at batch>=8 on TPU for the fold-region convs, NCHW otherwise — see
+    resolve_layout), unless --layout NCHW/NHWC overrides."""
     from ficsr_tpu.models.layers import set_layout
     from ficsr_tpu.train.config import resolve_layout
 
-    set_layout(resolve_layout(layout, train=train))
+    set_layout(resolve_layout(layout, train=train, batch=batch))
 
 
 def measure(batch: int, iters: int = 20, dtype=jnp.float32,
@@ -89,7 +91,7 @@ def measure_train(batch: int = 1, iters: int = 20, bf16: bool = False,
     from ficsr_tpu.train.state import create_train_state
     from ficsr_tpu.train.step import build_train_step
 
-    _apply_layout(train=True, layout=layout)
+    _apply_layout(train=True, layout=layout, batch=batch)
     cfg = TrainConfig(batchSize=batch, bf16=bf16, conv_fold=conv_fold)
     import sys
     print(f"# layout resolved, conv_fold={resolve_conv_fold(cfg)}",
@@ -120,7 +122,7 @@ def main():
     ap.add_argument("--layout", default="auto",
                     choices=["auto", "NCHW", "NHWC"])
     ap.add_argument("--conv_fold", default="auto",
-                    choices=["auto", "on", "off", "k7"])
+                    choices=["auto", "on", "off", "k7", "region"])
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform

@@ -329,6 +329,50 @@ def main():
     f, a = make_fwdbwd(convt_nhwc, xDh, wDh)
     record("D.convT4x4s2 nhwc fwd+bwd", (f, a), 3 * flD)
 
+    # ---- persistent fold region (round 3b): the whole ShallowNet chain
+    # (ConvT proj -> BN -> 3 ResBlocks -> head) plain vs use_fold("region").
+    # The per-conv rows above cannot see what the region changes: BN/ReLU
+    # staying fused in the folded layout and the per-conv fold/unfold
+    # relayouts disappearing (that composition made per-conv fold a net
+    # full-step LOSS, 518 vs 464 ms — benchmarks/README.md round 3).
+    from ficsr_tpu.models.generators import ShallowNet
+    from ficsr_tpu.models.layers import use_fold, use_layout
+
+    with use_layout("NHWC"):
+        net = ShallowNet(128, 1, up=True)
+        xS = jax.random.normal(key, (B, 128, 128, 128), DT)
+        vS = net.init(jax.random.PRNGKey(2), xS, train=True)
+
+        def make_chain(fold):
+            def loss(params, x):
+                with use_layout("NHWC"), use_fold(fold):
+                    y, upd = net.apply(
+                        {"params": params, "batch_stats": vS["batch_stats"]},
+                        x, train=True, mutable=["batch_stats"])
+                # keep the running-stat update chain alive (same DCE trap
+                # as step_profile's phase accounting)
+                stats = sum(jnp.sum(s.astype(jnp.float32))
+                            for s in jax.tree.leaves(upd))
+                return jnp.mean(jnp.square(y.astype(jnp.float32))) \
+                    + 1e-12 * stats
+
+            @jax.jit
+            def f(params, x, acc):
+                v, (gp, gx) = jax.value_and_grad(
+                    loss, argnums=(0, 1))(params, x)
+                return (acc + v + jnp.mean(gx.astype(jnp.float32))
+                        + sum(jnp.mean(g.astype(jnp.float32))
+                              for g in jax.tree.leaves(gp)))
+            return f, (vS["params"], xS)
+
+        flS = (flops_conv(B, 256, 256, 4, 4, 128, 64) // 4
+               + 6 * flops_conv(B, 256, 256, 3, 3, 64, 64)
+               + flops_conv(B, 256, 256, 3, 3, 64, 1))
+        f, a = make_chain(False)
+        record("R.shallow_chain plain fwd+bwd", (f, a), 3 * flS)
+        f, a = make_chain("region")
+        record("R.shallow_chain region fwd+bwd", (f, a), 3 * flS)
+
     print(f"wrote {out}")
 
 

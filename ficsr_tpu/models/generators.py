@@ -34,10 +34,22 @@ from ficsr_tpu.models.layers import (
     ConvTranspose2d,
     channel_axis,
     from_internal,
+    get_fold,
+    get_layout,
     leaky_relu,
     reflection_pad2d,
     to_internal,
+    width_fold,
+    width_unfold,
 )
+
+
+def _in_fold_region(x: jnp.ndarray) -> bool:
+    """Whether to run the following qualifying chain width-folded
+    (use_fold("region") — persistent-fold MFU optimization, exact same
+    function; see layers.py)."""
+    return (get_fold() == "region" and get_layout() == "NHWC"
+            and x.ndim == 4 and x.shape[2] % 2 == 0)
 
 __all__ = [
     "ResBlock",
@@ -84,6 +96,14 @@ class ResnetGenerator(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         ngf = self.ngf
         h = reflection_pad2d(x, 3)
+        # fold region over the 64-lane stem chain: the 7x7 valid conv at
+        # full 128-lane contraction (1.14x FLOP redundancy only), folded
+        # BN/ReLU, and down0 consuming the fold for free (stride-2 fine
+        # conv == phase-selected coarse conv).  128-ch inputs (B2A)
+        # already fill the MXU lanes — folding would only add FLOPs.
+        fold = self.input_nc <= 64 and _in_fold_region(h)
+        if fold:
+            h = width_fold(h)
         h = Conv2d(self.input_nc, ngf, 7, 1, 0, use_bias=False, name="stem")(h)
         h = BatchNorm2d(ngf, name="stem_bn")(h, train)
         h = nn.relu(h)
@@ -125,11 +145,20 @@ class ShallowNet(nn.Module):
                                 name="proj")(h)
         else:
             h = Conv2d(self.in_dim, 64, 3, 1, 1, use_bias=False, name="proj")(h)
+        # fold region over the dominant 3x3/64ch chain (proj_bn ->
+        # 3 ResBlocks -> head): one fold of the 64-ch activation, one
+        # unfold of the out_dim-ch (1-ch) output — everything between
+        # runs at full 128-lane MXU contraction with folded-exact BN.
+        fold = _in_fold_region(h)
+        if fold:
+            h = width_fold(h)
         h = BatchNorm2d(64, name="proj_bn")(h, train)
         for i in range(3):
             h = ResBlock(64, name=f"block{i}")(h, train)
         h = nn.relu(h)
         h = Conv2d(64, self.out_dim, 3, 1, 1, use_bias=False, name="head")(h)
+        if fold:
+            h = width_unfold(h)
         return jnp.tanh(h)
 
 

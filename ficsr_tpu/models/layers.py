@@ -47,6 +47,8 @@ __all__ = [
     "use_layout",
     "use_fold",
     "get_fold",
+    "width_fold",
+    "width_unfold",
     "use_streams",
     "get_streams",
     "channel_axis",
@@ -111,6 +113,19 @@ def use_fold(enabled: bool = True):
     outweighs the MXU gain without the backward's conv shapes), so this
     is enabled inside the differentiated train step only — inference
     keeps plain convs.
+
+    ``enabled="region"`` selects the *persistent-fold region* mode
+    instead: no conv folds on its own — model code folds ONCE at the
+    entry of a chain of qualifying ops (`width_fold`), every Conv2d /
+    BatchNorm2d inside the region detects the folded input (channel
+    count doubled vs its declaration) and computes directly in the
+    folded layout, and the chain unfolds once at its exit
+    (`width_unfold`).  Stride-2 convs at a region exit consume the
+    folded input and emit a normally-laid-out output for free (the
+    phase-selected kernel of a stride-2 fine conv needs no unfold).
+    This removes the per-conv fold/unfold lane-relayouts that made the
+    per-conv mode a net loss on the full train step (518 vs 464 ms —
+    benchmarks/README.md round 3).
     """
     global _FOLD
     prev = _FOLD
@@ -169,6 +184,27 @@ def from_internal(x: jnp.ndarray) -> jnp.ndarray:
     return x if _LAYOUT == "NCHW" else jnp.transpose(x, (0, 3, 1, 2))
 
 
+def width_fold(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W/2, 2C) — phase-major column fold.
+
+    A free reshape in NHWC row-major memory: coarse column j holds
+    [fine col 2j (C channels), fine col 2j+1 (C channels)].  Entry point
+    of a persistent fold region (``use_fold("region")``).
+    """
+    b, h, w, c = x.shape
+    if w % 2:
+        raise ValueError(f"width_fold needs even width, got {w}")
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def width_unfold(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W/2, 2C) -> (B, H, W, C) — inverse of `width_fold`."""
+    b, h, w2, c2 = x.shape
+    if c2 % 2:
+        raise ValueError(f"width_unfold needs even channels, got {c2}")
+    return x.reshape(b, h, 2 * w2, c2 // 2)
+
+
 def conv_init(key, shape, dtype=jnp.float32):
     """N(0, 0.02) — reference weights_init_normal for Conv layers."""
     return 0.02 * jax.random.normal(key, shape, dtype)
@@ -218,6 +254,27 @@ def _width_fold_kernel(w: jnp.ndarray, padding: int) -> jnp.ndarray:
     return wf
 
 
+def _strided_consume_kernel(w: jnp.ndarray, padding: int):
+    """HWIO fine kernel -> kernel consuming folded input for a stride-2 conv.
+
+    A stride-2 fine conv only ever produces even-phase output columns,
+    so on a folded input it is a stride-(2,1) coarse conv with an
+    UNFOLDED output: output col o reads fine col f = 2o + kx - padding,
+    i.e. coarse col o + f//2, phase f%2.  Returns (kernel, (pad_lo,
+    pad_hi)) for the coarse W axis.  This lets a region exit into a
+    stride-2 conv with zero relayout cost.
+    """
+    kh, kw, c, co = w.shape
+    taps = [(kx, (kx - padding) // 2, (kx - padding) % 2)
+            for kx in range(kw)]
+    dmin = min(d for _, d, _ in taps)
+    dmax = max(d for _, d, _ in taps)
+    wf = jnp.zeros((kh, dmax - dmin + 1, 2 * c, co), w.dtype)
+    for kx, du, ph in taps:
+        wf = wf.at[:, du - dmin, ph * c:(ph + 1) * c, :].set(w[:, kx])
+    return wf, (max(0, -dmin), max(0, dmax))
+
+
 class Conv2d(nn.Module):
     """torch.nn.Conv2d semantics: NCHW input, OIHW kernel, symmetric pad."""
 
@@ -230,6 +287,10 @@ class Conv2d(nn.Module):
 
     def _foldable(self, x: jnp.ndarray) -> bool:
         k = self.kernel_size
+        if _FOLD == "region":
+            # region mode: convs never fold on their own — the model
+            # folds at region entry and __call__ detects folded input
+            return False
         if _FOLD == "k7" and k < 5:
             # fold only the large-kernel (7x7 valid) class: its fold has
             # just 1.14x FLOP redundancy and the largest measured win
@@ -249,6 +310,43 @@ class Conv2d(nn.Module):
             (self.out_channels, self.in_channels, k, k),
         )
         w = w.astype(x.dtype)
+        folded_in = (_FOLD == "region" and _LAYOUT == "NHWC"
+                     and x.ndim == 4 and x.shape[3] == 2 * self.in_channels)
+        if folded_in:
+            # persistent fold region: input is width-folded (see
+            # use_fold docstring).  Stride-1 odd-kernel convs stay
+            # folded; stride-2 convs consume the fold and emit a
+            # normally-laid-out output (region exit for free).
+            wf = jnp.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+            if self.stride == 1 and k % 2 == 1 \
+                    and self.padding in (0, k // 2):
+                wk = _width_fold_kernel(wf, self.padding)
+                pw = 0 if self.padding == 0 else (k // 2 + 1) // 2
+                y = lax.conv_general_dilated(
+                    x, wk, window_strides=(1, 1),
+                    padding=((self.padding, self.padding), (pw, pw)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                folded_out = True
+            elif self.stride == 2 and k % 2 == 1:
+                wk, (plo, phi) = _strided_consume_kernel(wf, self.padding)
+                y = lax.conv_general_dilated(
+                    x, wk, window_strides=(2, 1),
+                    padding=((self.padding, self.padding), (plo, phi)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                folded_out = False
+            else:
+                raise ValueError(
+                    f"Conv2d(k={k}, stride={self.stride}, "
+                    f"padding={self.padding}) cannot run on a folded "
+                    "input — unfold before this layer")
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.out_channels,))
+                b = b.astype(x.dtype)
+                y = y + (jnp.concatenate([b, b]) if folded_out else b)
+            return y
         if self._foldable(x):
             # width-fold: exact same function, full-MXU-lane contraction
             # (see use_fold; benchmarks/conv_experiments.json)
@@ -360,6 +458,26 @@ class BatchNorm2d(nn.Module):
             lambda: jnp.ones((self.num_features,), jnp.float32),
         )
         red = (0, 2, 3) if _LAYOUT == "NCHW" else (0, 1, 2)
+        C = self.num_features
+        # persistent fold region (use_fold("region")): input is
+        # width-folded, channel i<C is column-phase 0 of channel i,
+        # channel C+i phase 1.  Per-channel statistics over (N,H,W)
+        # are recovered EXACTLY by pooling the two phase halves
+        # (equal counts): mean = (m0+m1)/2, var = (v0+v1)/2 +
+        # ((m0-m1)/2)^2 — so a folded chain computes the identical
+        # function with no unfold relayout.
+        folded = (_FOLD == "region" and _LAYOUT == "NHWC"
+                  and x.ndim == 4 and x.shape[-1] == 2 * C)
+
+        def pool_phases(mean, var):
+            m0, m1 = mean[..., :C], mean[..., C:]
+            v0, v1 = var[..., :C], var[..., C:]
+            return (0.5 * (m0 + m1),
+                    0.5 * (v0 + v1) + 0.25 * jnp.square(m0 - m1))
+
+        def tile(v):
+            return jnp.concatenate([v, v], axis=-1) if folded else v
+
         s = _STREAMS if train else 1
         if train and s > 1:
             # Stream-batched call: stats per stream (see use_streams).
@@ -374,9 +492,12 @@ class BatchNorm2d(nn.Module):
             xs = x.reshape((s, per) + x.shape[1:])
             sred = tuple(a + 1 for a in red)
             x32 = xs.astype(jnp.float32)
-            mean = jnp.mean(x32, axis=sred)        # (s, C)
-            var = jnp.var(x32, axis=sred)          # (s, C)
+            mean = jnp.mean(x32, axis=sred)        # (s, C) [(s, 2C) folded]
+            var = jnp.var(x32, axis=sred)
             n = xs.shape[sred[0]] * xs.shape[sred[1]] * xs.shape[sred[2]]
+            if folded:
+                mean, var = pool_phases(mean, var)
+                n *= 2
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 rm, rv = ra_mean.value, ra_var.value
@@ -385,8 +506,8 @@ class BatchNorm2d(nn.Module):
                     rv = (1 - self.momentum) * rv + self.momentum * unbiased[i]
                 ra_mean.value, ra_var.value = rm, rv
             inv = lax.rsqrt(var + self.eps) * scale[None]     # (s, C)
-            mean_n = jnp.repeat(mean, per, axis=0)            # (s*N, C)
-            inv_n = jnp.repeat(inv, per, axis=0)              # (s*N, C)
+            mean_n = jnp.repeat(tile(mean), per, axis=0)      # (s*N, C|2C)
+            inv_n = jnp.repeat(tile(inv), per, axis=0)
             if _LAYOUT == "NCHW":
                 mean_n = mean_n[:, :, None, None]
                 inv_n = inv_n[:, :, None, None]
@@ -394,7 +515,7 @@ class BatchNorm2d(nn.Module):
             else:
                 mean_n = mean_n[:, None, None, :]
                 inv_n = inv_n[:, None, None, :]
-                bias_b = bias[None, None, None, :]
+                bias_b = tile(bias)[None, None, None, :]
             return (x - mean_n.astype(x.dtype)) * inv_n.astype(x.dtype) \
                 + bias_b.astype(x.dtype)
         if train:
@@ -402,6 +523,9 @@ class BatchNorm2d(nn.Module):
             mean = jnp.mean(x32, axis=red)
             var = jnp.var(x32, axis=red)
             n = x.shape[red[0]] * x.shape[red[1]] * x.shape[red[2]]
+            if folded:
+                mean, var = pool_phases(mean, var)
+                n *= 2
             if not self.is_initializing():
                 # torch tracks the *unbiased* variance in running stats
                 unbiased = var * (n / max(n - 1, 1))
@@ -415,8 +539,8 @@ class BatchNorm2d(nn.Module):
         if _LAYOUT == "NCHW":
             bshape = (1, self.num_features, 1, 1)
         else:
-            bshape = (1, 1, 1, self.num_features)
-        y = (x - mean.reshape(bshape).astype(x.dtype)) * \
-            inv.reshape(bshape).astype(x.dtype) + \
-            bias.reshape(bshape).astype(x.dtype)
+            bshape = (1, 1, 1, 2 * C if folded else C)
+        y = (x - tile(mean).reshape(bshape).astype(x.dtype)) * \
+            tile(inv).reshape(bshape).astype(x.dtype) + \
+            tile(bias).reshape(bshape).astype(x.dtype)
         return y

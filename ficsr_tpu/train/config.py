@@ -88,7 +88,9 @@ class TrainConfig:
     # (models/layers.use_fold): exact same function, faster per-conv
     # fwd+bwd for the 64-ch classes, but measured SLOWER composed into
     # the full step — 'auto' resolves OFF (see resolve_conv_fold).
-    # 'on' folds every qualifying conv, 'k7' only the 7x7 valid stems.
+    # 'on' folds every qualifying conv, 'k7' only the 7x7 valid stems,
+    # 'region' runs whole 64-ch chains persistently folded (folded BN,
+    # fold consumed by the stride-2 exits — models/generators.py).
     conv_fold: str = "auto"
     # reproduce the reference's cosine-branch scheduler bug
     # (train.py:109-110: BOTH CosineAnnealingLR instances wrap
@@ -102,21 +104,26 @@ class TrainConfig:
         return self.sizeA * 2
 
 
-def resolve_layout(layout: str = "auto", train: bool = False) -> str:
+def resolve_layout(layout: str = "auto", train: bool = False,
+                   batch: int = None) -> str:
     """Resolve 'auto' to the measured-fastest activation layout.
 
     Inference: NHWC on TPU (806 vs 700 img/s side-by-side, +15%).
-    Training: NCHW everywhere — fwd+bwd is layout-neutral per conv and
-    the full step measured neutral at b16-bf16 (466.5 vs 466.9 ms) but
-    23% slower NHWC at b1-fp32 (97.9 vs 79.7 ms).  All numbers v5e,
-    honest sync — benchmarks/README.md.
+    Training on TPU: NHWC for batch >= 8 — it enables the
+    persistent-fold-region convs (conv_fold auto -> 'region'), the r3
+    train-step win (b16-bf16: 329 ms vs 465 NCHW — benchmarks/README.md
+    round 3b).  Small batches keep NCHW (NHWC alone measured 23% slower
+    at b1-fp32, 97.9 vs 79.7 ms; pass --layout NHWC to override).
+    All numbers v5e, honest sync.
     """
     if layout != "auto":
         return layout
-    if train:
-        return "NCHW"
     import jax
-    return "NHWC" if jax.default_backend() == "tpu" else "NCHW"
+    if jax.default_backend() != "tpu":
+        return "NCHW"
+    if train:
+        return "NHWC" if (batch or 0) >= 8 else "NCHW"
+    return "NHWC"
 
 
 def resolve_conv_fold(config: "TrainConfig") -> bool:
@@ -129,24 +136,28 @@ def resolve_conv_fold(config: "TrainConfig") -> bool:
     if config.conv_fold == "off":
         return False
     if get_layout() != "NHWC":
-        if config.conv_fold in ("on", "k7"):
+        if config.conv_fold in ("on", "k7", "region"):
             raise ValueError(f"conv_fold={config.conv_fold!r} requires the "
                              "NHWC layout (use --layout NHWC)")
         return False
-    if config.conv_fold in ("on", "k7"):
-        return True if config.conv_fold == "on" else "k7"
-    # 'auto': measured OFF — the per-conv fwd+bwd wins (4.21 vs 5.08 ms
-    # 3x3/64ch, 3.60 vs 5.65 ms 7x7) do NOT survive composition in the
-    # full step (NHWC b16-bf16: 464 ms fold-off vs 518 ms fold-on —
-    # layout churn at each fold/unfold boundary).  Kept as an opt-in
-    # experiment; see benchmarks/README.md round-3 notes.
-    return False
+    if config.conv_fold in ("on", "k7", "region"):
+        return True if config.conv_fold == "on" else config.conv_fold
+    # 'auto' (NHWC active): 'region' on TPU — the persistent-fold-region
+    # formulation measured 329.4 vs 465.2 ms on the b16-bf16 step (r3b).
+    # The r3a per-conv modes ('on'/'k7') stay opt-in only: their
+    # per-conv fwd+bwd wins (4.21 vs 5.08 ms 3x3/64ch) did NOT survive
+    # composition (518/470 vs 464 ms — relayout at every fold/unfold
+    # boundary), which is exactly what the region mode fixes by keeping
+    # BN/ReLU/residual consumers folded.  benchmarks/README.md round 3.
+    import jax
+    return "region" if jax.default_backend() == "tpu" else False
 
 
 def apply_layout(config: "TrainConfig") -> str:
     """Resolve and activate the configured activation layout (training)."""
     from ficsr_tpu.models.layers import set_layout
-    resolved = resolve_layout(config.layout, train=True)
+    resolved = resolve_layout(config.layout, train=True,
+                              batch=config.batchSize)
     set_layout(resolved)
     return resolved
 

@@ -74,6 +74,11 @@ def build_finetune_step(lambda_ssim: float = 1.0,
     """
     tx = make_optimizer()
     model = MODELS["a2b"]
+    from ficsr_tpu.train.config import TrainConfig, resolve_conv_fold
+    from ficsr_tpu.models.layers import use_fold
+    # same fold policy as the main train step (reads the active layout;
+    # 'region' on TPU-NHWC — r3b, 329 vs 465 ms on the b16-bf16 step)
+    fold = resolve_conv_fold(TrainConfig())
 
     def loss_fn(params, stats, lr_img, hr_img):
         lf, hf = frequency_split(lr_img, *RADII_A)
@@ -89,8 +94,10 @@ def build_finetune_step(lambda_ssim: float = 1.0,
 
     def step(state: FinetuneState, lr_img, hr_img, lr
              ) -> Tuple[FinetuneState, Dict[str, jnp.ndarray]]:
-        (_, (stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.stats, lr_img, hr_img)
+        with use_fold(fold):
+            (_, (stats, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.stats,
+                                       lr_img, hr_img)
         opt = state.opt
         hp = dict(opt.hyperparams)
         hp["learning_rate"] = jnp.asarray(lr, jnp.float32)

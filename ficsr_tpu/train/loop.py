@@ -64,8 +64,9 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
           max_steps: Optional[int] = None) -> TrainState:
     maybe_init_distributed()  # no-op off-pod
     from ficsr_tpu.train.config import apply_layout
-    apply_layout(config)  # measured training policy: NCHW (auto);
-    # --layout NHWC overrides (docs/architecture.md §6)
+    apply_layout(config)  # measured training policy (auto): NHWC +
+    # fold-region convs at batch>=8 on TPU, NCHW otherwise; --layout
+    # NCHW/NHWC overrides (docs/architecture.md §6-7)
     # validate data before any (minutes-long) device compilation
     # (seed offset: each host's unaligned-B stream must differ, else all
     # hosts pick correlated B images for their disjoint A rows)

@@ -34,7 +34,7 @@ def main():
 
     from ficsr_tpu.models.layers import set_layout
     from ficsr_tpu.train.config import resolve_layout
-    set_layout(resolve_layout(train=True))  # training: NCHW (measured)
+    set_layout(resolve_layout(train=True, batch=args.batchSize))
 
     from ficsr_tpu.data.datasets import ImageDataset6mm
     from ficsr_tpu.data.pipeline import normalize, paired_random_crop, to_unit

@@ -134,6 +134,174 @@ def test_generator_fold_equivalence(rng):
 
 
 # ---------------------------------------------------------------------------
+# Persistent fold region (use_fold("region")): whole 64-ch chains run
+# width-folded — folded conv I/O, folded-exact BatchNorm, stride-2 exits
+# consuming the fold.  Each test pins exactness vs the plain path.
+# ---------------------------------------------------------------------------
+
+
+from ficsr_tpu.models.layers import width_fold, width_unfold  # noqa: E402
+
+
+def test_width_fold_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 3)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(width_unfold(width_fold(x))),
+                                  np.asarray(x))
+    # phase-major layout: coarse col j = [fine 2j | fine 2j+1]
+    xf = width_fold(x)
+    np.testing.assert_array_equal(np.asarray(xf[0, 0, 0, :3]),
+                                  np.asarray(x[0, 0, 0]))
+    np.testing.assert_array_equal(np.asarray(xf[0, 0, 0, 3:]),
+                                  np.asarray(x[0, 0, 1]))
+
+
+@pytest.mark.parametrize("k,pad", [(3, 1), (7, 0), (5, 2)])
+def test_region_conv_stride1_folded_io(rng, k, pad):
+    """Folded-input stride-1 conv == plain conv, output stays folded."""
+    with use_layout("NHWC"):
+        mod = Conv2d(64, 64, k, stride=1, padding=pad)
+        x = jnp.asarray(rng.standard_normal((2, 22, 22, 64)), jnp.float32)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        with use_fold(False):
+            y_plain = mod.apply(v, x)
+        with use_fold("region"):
+            yf = mod.apply(v, width_fold(x))
+        np.testing.assert_allclose(np.asarray(width_unfold(yf)),
+                                   np.asarray(y_plain),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_region_conv_stride2_consumes_fold(rng):
+    """Stride-2 conv on folded input emits the plain (unfolded) output."""
+    with use_layout("NHWC"):
+        mod = Conv2d(64, 128, 3, stride=2, padding=1)
+        x = jnp.asarray(rng.standard_normal((2, 24, 24, 64)), jnp.float32)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        with use_fold(False):
+            y_plain = mod.apply(v, x)
+        with use_fold("region"):
+            y = mod.apply(v, width_fold(x))
+        assert y.shape == y_plain.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_plain),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_region_conv_rejects_unsupported_geometry(rng):
+    with use_layout("NHWC"), use_fold("region"):
+        mod = Conv2d(64, 64, 4, stride=4, padding=0)
+        x = jnp.zeros((1, 8, 4, 128), jnp.float32)
+        with pytest.raises(ValueError, match="folded"):
+            mod.init(jax.random.PRNGKey(0), x)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_region_batchnorm_folded_exact(rng, train):
+    """Folded BN: identical normalization AND running-stat updates."""
+    from ficsr_tpu.models.layers import BatchNorm2d
+    with use_layout("NHWC"):
+        bn = BatchNorm2d(64)
+        x = jnp.asarray(rng.standard_normal((4, 10, 12, 64)), jnp.float32)
+        v = bn.init(jax.random.PRNGKey(0), x, train=True)
+        # seed non-trivial running stats for the eval path
+        v = {"params": v["params"],
+             "batch_stats": {
+                 "running_mean": jnp.asarray(
+                     rng.standard_normal(64), jnp.float32),
+                 "running_var": jnp.asarray(
+                     1.0 + rng.random(64), jnp.float32)}}
+        with use_fold(False):
+            y0, m0 = bn.apply(v, x, train=train, mutable=["batch_stats"])
+        with use_fold("region"):
+            y1, m1 = bn.apply(v, width_fold(x), train=train,
+                              mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(width_unfold(y1)),
+                                   np.asarray(y0), atol=2e-5, rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(m0), jax.tree.leaves(m1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
+
+def test_region_shallownet_equivalence(rng):
+    """ShallowNet (the dominant folded chain) — values + batch stats."""
+    from ficsr_tpu.models.generators import ShallowNet
+    with use_layout("NHWC"):
+        net = ShallowNet(128, 1, up=True)
+        x = jnp.asarray(rng.standard_normal((2, 16, 16, 128)), jnp.float32)
+        v = net.init(jax.random.PRNGKey(0), x, train=True)
+        with use_fold(False):
+            y0, m0 = net.apply(v, x, train=True, mutable=["batch_stats"])
+        with use_fold("region"):
+            y1, m1 = net.apply(v, x, train=True, mutable=["batch_stats"])
+        assert y1.shape == y0.shape
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   atol=5e-5, rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(m0), jax.tree.leaves(m1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_region_generator_grad_equivalence(rng):
+    """Full NetworkA2B in region mode: values AND gradients match plain
+    (train mode, so folded BN statistics are differentiated through)."""
+    from ficsr_tpu.train.state import MODELS
+    with use_layout("NHWC"):
+        a2b = MODELS["a2b"]
+        lf = jnp.asarray(rng.standard_normal((2, 1, 32, 32)), jnp.float32)
+        hf = jnp.asarray(rng.standard_normal((2, 1, 32, 32)), jnp.float32)
+        variables = a2b.init(jax.random.PRNGKey(0), lf, hf, train=True)
+
+        def loss(params, fold):
+            with use_fold(fold):
+                (l_f, h_f, sr), _ = a2b.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    lf, hf, train=True, mutable=["batch_stats"])
+            return (jnp.mean(jnp.square(sr)) + jnp.mean(jnp.abs(l_f))
+                    + jnp.mean(jnp.abs(h_f)))
+
+        v0, g0 = jax.value_and_grad(loss)(variables["params"], False)
+        v1, g1 = jax.value_and_grad(loss)(variables["params"], "region")
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_region_train_step_equivalence(rng):
+    """One full train step with conv_fold='region' matches conv_fold='off'
+    (NHWC, fp32): losses, updated params, and running stats."""
+    from ficsr_tpu.train.config import TrainConfig
+    from ficsr_tpu.train.state import create_train_state
+    from ficsr_tpu.train.step import build_train_step
+
+    ra = jnp.asarray(rng.standard_normal((2, 1, 64, 64)), jnp.float32)
+    rb = jnp.asarray(rng.standard_normal((2, 1, 64, 64)), jnp.float32)
+    outs = {}
+    with use_layout("NHWC"):
+        for fold in ("off", "region"):
+            cfg = TrainConfig(batchSize=2, sizeA=32, sizeB=64, d_layers=2,
+                              layout="NHWC", conv_fold=fold)
+            state = create_train_state(cfg, jax.random.PRNGKey(0))
+            step = build_train_step(cfg, jit=False, donate=False)
+            outs[fold] = step(state, ra, rb, 1e-4)
+    new0, m0 = outs["off"]
+    new1, m1 = outs["region"]
+    for k in m0:
+        np.testing.assert_allclose(float(m1[k]), float(m0[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+    for a, b in zip(jax.tree.leaves(new0.g_params),
+                    jax.tree.leaves(new1.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4)
+    for a, b in zip(jax.tree.leaves(new0.g_stats),
+                    jax.tree.leaves(new1.g_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # Cosine scheduler bug-compat (reference train.py:109-110)
 # ---------------------------------------------------------------------------
 
