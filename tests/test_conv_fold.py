@@ -269,6 +269,35 @@ def test_region_generator_grad_equivalence(rng):
 
 
 @pytest.mark.slow
+def test_region_dp_step_equivalence(rng):
+    """conv_fold='region' under the 8-device DP mesh == single-device
+    (the folded chains trace identically under shard_map/pjit)."""
+    from ficsr_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_batch, shard_train_step)
+    from ficsr_tpu.train.config import TrainConfig
+    from ficsr_tpu.train.state import create_train_state
+    from ficsr_tpu.train.step import build_train_step
+
+    ra = jnp.asarray(rng.standard_normal((8, 1, 64, 64)), jnp.float32)
+    rb = jnp.asarray(rng.standard_normal((8, 1, 64, 64)), jnp.float32)
+    with use_layout("NHWC"):
+        cfg = TrainConfig(batchSize=8, sizeA=32, sizeB=64, d_layers=2,
+                          layout="NHWC", conv_fold="region")
+        state0 = create_train_state(cfg, jax.random.PRNGKey(0))
+        mesh = make_mesh(8)
+        step8 = shard_train_step(build_train_step(cfg, jit=False), mesh)
+        new8, m8 = step8(replicate(mesh, state0),
+                         shard_batch(mesh, ra), shard_batch(mesh, rb), 1e-4)
+        step1 = build_train_step(cfg, donate=False)
+        new1, m1 = step1(create_train_state(cfg, jax.random.PRNGKey(0)),
+                         ra, rb, 1e-4)
+    assert abs(float(m1["loss_G"]) - float(m8["loss_G"])) < 1e-3
+    for a, b in zip(jax.tree.leaves(new1.g_params),
+                    jax.tree.leaves(new8.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
+@pytest.mark.slow
 def test_region_train_step_equivalence(rng):
     """One full train step with conv_fold='region' matches conv_fold='off'
     (NHWC, fp32): losses, updated params, and running stats."""
