@@ -42,7 +42,7 @@ def _apply_layout(train: bool = False, layout: str = "auto",
 
 
 def measure(batch: int, iters: int = 20, dtype=jnp.float32,
-            layout: str = "auto") -> float:
+            layout: str = "auto", conv_fold: str = "auto") -> float:
     """Throughput with HONEST device sync.
 
     On the axon runtime `jax.block_until_ready` does not wait for
@@ -51,10 +51,17 @@ def measure(batch: int, iters: int = 20, dtype=jnp.float32,
     output therefore feeds a device-side accumulator whose final value
     is pulled to the host — one transfer that forces the whole chain.
     """
+    import contextlib
+
+    from ficsr_tpu.models.layers import get_layout, use_fold
     from ficsr_tpu.ops.freq import RADII_A, frequency_split
+    from ficsr_tpu.train.config import resolve_conv_fold_infer
     from ficsr_tpu.train.state import MODELS
 
     _apply_layout(layout=layout)
+    fold = resolve_conv_fold_infer(conv_fold, layout=get_layout(),
+                                   batch=batch)
+    fold_ctx = use_fold(fold) if fold else contextlib.nullcontext()
     model = MODELS["a2b"]
     x = jnp.zeros((batch, 1, 256, 256), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
@@ -73,13 +80,14 @@ def measure(batch: int, iters: int = 20, dtype=jnp.float32,
 
     img = jax.random.normal(jax.random.PRNGKey(1), x.shape, jnp.float32)
     acc = jnp.zeros((), jnp.float32)
-    _, acc_w = infer(img, acc)
-    float(acc_w)  # compile + sync
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        _, acc = infer(img, acc)
-    float(acc)  # host transfer forces the full chain
-    dt = time.perf_counter() - t0
+    with fold_ctx:  # trace-time global; baked in at first call's trace
+        _, acc_w = infer(img, acc)
+        float(acc_w)  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _, acc = infer(img, acc)
+        float(acc)  # host transfer forces the full chain
+        dt = time.perf_counter() - t0
     return batch * iters / dt
 
 
@@ -168,7 +176,8 @@ def main():
     for b in batches:
         try:
             ips = measure(b, iters=5 if platform == "cpu" else 50,
-                          dtype=dtype, layout=args.layout)
+                          dtype=dtype, layout=args.layout,
+                          conv_fold=args.conv_fold)
         except Exception:
             break
         if ips > best:

@@ -167,6 +167,63 @@ def conv_s2dw_2c(x, w):
     return jnp.stack([y0, y1], axis=3).reshape(b, h, wd, co)
 
 
+def conv_shift9(x, w, acc_f32=False):
+    """3x3 stride-1 'same' conv as 9 shifted (M,C)x(C,Co) matmuls.
+
+    x NHWC, w HWIO.  Zero FLOP redundancy; every partial product is a
+    dense dot_general with contraction depth C — for the 256-channel
+    class this turns the conv into nine MXU-shaped 16384x256x256
+    matmuls instead of whatever XLA's conv emitter picks (measured
+    19 TF/s fwd on class B).  Boundary taps are handled by one zero-pad
+    of the input; bf16 partials accumulate in fp32 when acc_f32.
+    """
+    b, h, wd, c = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc_dt = jnp.float32 if acc_f32 else x.dtype
+    y = jnp.zeros((b, h, wd, co), acc_dt)
+    for dy in range(3):
+        for dx in range(3):
+            xs = xp[:, dy:dy + h, dx:dx + wd, :]
+            y = y + jax.lax.dot_general(
+                xs, w[dy, dx], (((3,), (0,)), ((), ())),
+                preferred_element_type=acc_dt)
+    return y.astype(x.dtype)
+
+
+def convt_subpixel(x, w):
+    """Exact subpixel reformulation of ``convt_nhwc`` (4x4, stride 2).
+
+    x NHWC, w HWIO (4,4,C,Co).  ConvT with lhs_dilation feeds the MXU a
+    75%-zeros dilated input; but each output PHASE (py,px in {0,1}^2)
+    only ever sees a fixed 2x2 subset of the 4x4 kernel, so the whole
+    op is one dense 2x2 conv at the LR grid producing 4*Co phase
+    channels, followed by a depth-to-space interleave:
+
+      y[2j+p] = x[j-1]*w[2*0+p] + x[j]*w[2*1+p]        (per axis)
+
+    i.e. K[ty,tx,ci,(py,px,o)] = w[2*ty+py, 2*tx+px, ci, o].  Same
+    useful FLOPs, zero wasted ones, contraction depth C stays dense.
+    Matches convt_nhwc on its full 255^2 output (our extra 256th
+    row/col is the phase-1 tail the (2,1) pad clips).
+    """
+    b, h, wd, c = x.shape
+    co = w.shape[-1]
+    k2 = w.reshape(2, 2, 2, 2, c, co)            # [ty,py,tx,px,ci,o]
+    k2 = k2.transpose(0, 2, 4, 1, 3, 5).reshape(2, 2, c, 4 * co)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = lax.conv_general_dilated(
+        xp, k2, (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (b,h+1,wd+1,4co)
+    parts = out.reshape(b, h + 1, wd + 1, 2, 2, co)
+    row0 = jnp.stack([parts[:, 0:h, 0:wd, 0, 0],
+                      parts[:, 0:h, 1:wd + 1, 0, 1]], axis=3)
+    row1 = jnp.stack([parts[:, 1:h + 1, 0:wd, 1, 0],
+                      parts[:, 1:h + 1, 1:wd + 1, 1, 1]], axis=3)
+    rows = jnp.stack([row0, row1], axis=2)       # (b,h,2,wd,2,co)
+    return rows.reshape(b, 2 * h, 2 * wd, co)
+
+
 def check_s2dw():
     """f32 equivalence of every folded variant vs the plain conv."""
     import numpy as np
@@ -174,12 +231,24 @@ def check_s2dw():
     x = jax.random.normal(k, (2, 16, 24, 64), jnp.float32)
     w3 = jax.random.normal(k, (3, 3, 64, 32), jnp.float32) * 0.1
     ref = conv_nhwc(x, w3, pad=1)
+    np.testing.assert_allclose(conv_shift9(x, w3), ref, atol=2e-4)
+    np.testing.assert_allclose(conv_shift9(x, w3, acc_f32=True), ref,
+                               atol=2e-4)
     np.testing.assert_allclose(conv_s2dw(x, w3, 2), ref, atol=2e-4)
     np.testing.assert_allclose(conv_s2dw(x, w3, 4), ref, atol=2e-4)
     np.testing.assert_allclose(conv_s2dw_2c(x, w3), ref, atol=2e-4)
     w7 = jax.random.normal(k, (7, 7, 64, 32), jnp.float32) * 0.1
     ref7 = conv_nhwc(x, w7, pad=3)
     np.testing.assert_allclose(conv_s2dw(x, w7, 2), ref7, atol=1e-3)
+    # convT subpixel vs the lhs-dilated form (valid on the latter's
+    # (2H-1)^2 output; subpixel also emits the clipped phase-1 tail)
+    wt = jax.random.normal(k, (4, 4, 64, 32), jnp.float32) * 0.1
+    reft = lax.conv_general_dilated(
+        x, wt, (1, 1), ((2, 1), (2, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    sub = convt_subpixel(x, wt)
+    np.testing.assert_allclose(sub[:, :reft.shape[1], :reft.shape[2]],
+                               reft, atol=2e-4)
     print("# s2dw equivalence checks passed", flush=True)
 
 
@@ -283,6 +352,25 @@ def main():
     record("B.3x3_256_32 nchw fwd+bwd", (f, a), 3 * flB)
     f, a = make_fwdbwd(conv_nhwc, xBh, wBh)
     record("B.3x3_256_32 nhwc fwd+bwd", (f, a), 3 * flB)
+    # shift-and-add: 9 dense MXU matmuls, zero FLOP redundancy (r3c —
+    # class B's conv fwd measures 19 TF/s, the worst row in this file,
+    # and there are 16 of these per A2B pass x 6 passes per step)
+    f, a = make_fwd(conv_shift9, xBh, wBh)
+    record("B.3x3_256_32 shift9 fwd", (f, a), flB)
+    f, a = make_fwdbwd(conv_shift9, xBh, wBh)
+    record("B.3x3_256_32 shift9 fwd+bwd", (f, a), 3 * flB)
+    f, a = make_fwd(lambda x, w: conv_shift9(x, w, acc_f32=True), xBh, wBh)
+    record("B.3x3_256_32 shift9f32 fwd", (f, a), flB)
+    f, a = make_fwdbwd(lambda x, w: conv_shift9(x, w, acc_f32=True),
+                       xBh, wBh)
+    record("B.3x3_256_32 shift9f32 fwd+bwd", (f, a), 3 * flB)
+    # im2col (one 16384 x 2304 x 256 dot; lost badly on class A where
+    # the patch tensor is 9x a 256^2 activation — B's is only 9x32^2)
+    wBc = wBh.reshape(9 * 256, 256)
+    f, a = make_fwd(im2col_conv, xBh, wBc)
+    record("B.3x3_256_32 im2col fwd", (f, a), flB)
+    f, a = make_fwdbwd(im2col_conv, xBh, wBc)
+    record("B.3x3_256_32 im2col fwd+bwd", (f, a), 3 * flB)
 
     # ---- class C: 7x7 64->64 @128^2 (reflection-padded in model; plain
     # pad here — the pad is not the bottleneck) ----
@@ -329,6 +417,12 @@ def main():
     record("D.convT4x4s2 nchw fwd+bwd", (f, a), 3 * flD)
     f, a = make_fwdbwd(convt_nhwc, xDh, wDh)
     record("D.convT4x4s2 nhwc fwd+bwd", (f, a), 3 * flD)
+    # subpixel (r3c): dense 2x2 conv at the LR grid + depth-to-space —
+    # no zero-dilated input; 12 ConvT fwd+bwd instances per step
+    f, a = make_fwd(convt_subpixel, xDh, wDh)
+    record("D.convT4x4s2 subpixel fwd", (f, a), flD)
+    f, a = make_fwdbwd(convt_subpixel, xDh, wDh)
+    record("D.convT4x4s2 subpixel fwd+bwd", (f, a), 3 * flD)
 
     # ---- persistent fold region (round 3b): the whole ShallowNet chain
     # (ConvT proj -> BN -> 3 ResBlocks -> head) plain vs use_fold("region").
@@ -373,6 +467,24 @@ def main():
         record("R.shallow_chain plain fwd+bwd", (f, a), 3 * flS)
         f, a = make_chain("region")
         record("R.shallow_chain region fwd+bwd", (f, a), 3 * flS)
+
+        # fwd-only, eval-mode BN (the INFERENCE regime — decides whether
+        # bench.py/infer.py should run the fold region; the per-conv fold
+        # loses fwd-only, but the region has no per-conv boundaries)
+        def make_chain_eval(fold):
+            def fwd(x, acc):
+                with use_layout("NHWC"), use_fold(fold):
+                    y = net.apply(
+                        {"params": vS["params"],
+                         "batch_stats": vS["batch_stats"]},
+                        x, train=False)
+                return acc + jnp.mean(y.astype(jnp.float32))
+            return jax.jit(fwd), (xS,)
+
+        f, a = make_chain_eval(False)
+        record("R.shallow_chain plain eval-fwd", (f, a), flS)
+        f, a = make_chain_eval("region")
+        record("R.shallow_chain region eval-fwd", (f, a), flS)
 
     print(f"wrote {out}")
 

@@ -34,32 +34,45 @@ __all__ = ["export_sr", "load_sr", "export_sr_compiled",
            "load_sr_compiled", "make_infer_fn"]
 
 
-def make_infer_fn(variables: dict, bf16: bool = False) -> Callable:
+def make_infer_fn(variables: dict, bf16: bool = False,
+                  conv_fold: str = "auto") -> Callable:
     """The full serving computation: frequency split (reference eval
     recipe, utils.py:202-205) + NetworkA2B in eval-BN mode, weights
-    closed over (they become constants in the exported artifact)."""
+    closed over (they become constants in the exported artifact).
+    `conv_fold` (resolve_conv_fold_infer) traces the exact-equivalent
+    persistent-fold-region convs into the artifact when active."""
+    from ficsr_tpu.models.layers import use_fold
+    from ficsr_tpu.train.config import resolve_conv_fold_infer
+
     model = MODELS["a2b"]
 
     def fn(x):
+        # batch may be symbolic (export_sr's "b") — resolve_conv_fold_infer
+        # treats a non-int batch as None and 'auto' falls back to off
+        b = x.shape[0]
+        fold = resolve_conv_fold_infer(
+            conv_fold, batch=b if isinstance(b, int) else None)
         lf, hf = frequency_split(x, *RADII_A)
         if bf16:
             lf, hf = lf.astype(jnp.bfloat16), hf.astype(jnp.bfloat16)
-        out, _ = model.apply(variables, lf, hf, train=False,
-                             mutable=["batch_stats"])
+        with use_fold(fold):
+            out, _ = model.apply(variables, lf, hf, train=False,
+                                 mutable=["batch_stats"])
         return out[2].astype(jnp.float32)
 
     return fn
 
 
 def export_sr(variables: dict, size: int = 256, bf16: bool = False,
-              platforms: Union[Sequence[str], None] = None) -> bytes:
+              platforms: Union[Sequence[str], None] = None,
+              conv_fold: str = "auto") -> bytes:
     """Serialize SR inference to bytes (StableHLO + embedded weights).
 
     The batch dimension is symbolic ("b"): one artifact serves any
     batch size.  `platforms` defaults to the current backend; pass e.g.
     ("tpu", "cpu") for a multi-platform artifact.
     """
-    fn = make_infer_fn(variables, bf16=bf16)
+    fn = make_infer_fn(variables, bf16=bf16, conv_fold=conv_fold)
     b = jexport.symbolic_shape("b")[0]
     spec = jax.ShapeDtypeStruct((b, 1, size, size), jnp.float32)
     exported = jexport.export(
@@ -89,7 +102,7 @@ def load_sr(path_or_bytes) -> Callable:
 
 
 def export_sr_compiled(variables: dict, size: int = 256, batch: int = 1,
-                       bf16: bool = False) -> bytes:
+                       bf16: bool = False, conv_fold: str = "auto") -> bytes:
     """AOT-compile SR inference and serialize the *compiled executable*
     (jax.experimental.serialize_executable).
 
@@ -103,7 +116,7 @@ def export_sr_compiled(variables: dict, size: int = 256, batch: int = 1,
 
     from jax.experimental import serialize_executable as se
 
-    fn = make_infer_fn(variables, bf16=bf16)
+    fn = make_infer_fn(variables, bf16=bf16, conv_fold=conv_fold)
     # pin the executable to ONE device: on multi-device hosts an
     # unpinned lowering round-trips through deserialize expecting
     # device_count shards for single-device arrays

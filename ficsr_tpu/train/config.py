@@ -18,7 +18,7 @@ import dataclasses
 from dataclasses import dataclass
 
 __all__ = ["TrainConfig", "parse_args", "str2bool", "resolve_layout",
-           "apply_layout"]
+           "resolve_conv_fold", "resolve_conv_fold_infer", "apply_layout"]
 
 
 def str2bool(v) -> bool:
@@ -151,6 +151,50 @@ def resolve_conv_fold(config: "TrainConfig") -> bool:
     # BN/ReLU/residual consumers folded.  benchmarks/README.md round 3.
     import jax
     return "region" if jax.default_backend() == "tpu" else False
+
+
+# Measured fold-region inference boundary on the v5e (bf16 NHWC 256^2,
+# honest sync, benchmarks/README.md r3c): region wins 1.24-1.39x at
+# b8-b64 (and +3% at b4) but LOSES at b1 (1.87 vs 1.98 ms — no batch
+# rows to tile the folded conv's matmul with) and at b>=96 (1180 vs
+# 1098 at b96, 1424 vs 1191 img/s at b128 — the plain path's
+# batch-multiple-of-sublane tiling jump fills the MXU without the
+# fold's 2x kernel-zero FLOPs).
+_FOLD_INFER_MIN_BATCH = 4
+_FOLD_INFER_MAX_BATCH = 64
+
+
+def resolve_conv_fold_infer(conv_fold: str = "auto",
+                            layout: str = None, batch: int = None):
+    """Conv-fold mode for INFERENCE programs (bench.py, infer.py,
+    serving).  Same contract as `resolve_conv_fold` but without a
+    TrainConfig: returns False, 'region', 'k7' or True.
+
+    'auto' is measured separately from training: the per-conv modes
+    lose at inference (fwd-only pays the kernel-zero FLOP redundancy
+    with no backward to amortize it), so 'auto' only ever considers the
+    persistent-fold region, and only on TPU within the measured winning
+    batch window [_FOLD_INFER_MIN_BATCH, _FOLD_INFER_MAX_BATCH] (pass
+    the concrete per-call batch; None — e.g. a symbolic export batch —
+    resolves to off, the safe-everywhere mode).
+    """
+    import jax
+
+    from ficsr_tpu.models.layers import get_layout
+    layout = layout or get_layout()
+    if conv_fold == "off":
+        return False
+    if layout != "NHWC":
+        if conv_fold in ("on", "k7", "region"):
+            raise ValueError(f"conv_fold={conv_fold!r} requires the "
+                             "NHWC layout")
+        return False
+    if conv_fold in ("on", "k7", "region"):
+        return True if conv_fold == "on" else conv_fold
+    if (jax.default_backend() == "tpu" and batch is not None
+            and _FOLD_INFER_MIN_BATCH <= batch <= _FOLD_INFER_MAX_BATCH):
+        return "region"
+    return False
 
 
 def apply_layout(config: "TrainConfig") -> str:

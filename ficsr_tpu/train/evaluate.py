@@ -32,22 +32,26 @@ __all__ = ["make_sr_infer", "eval_numbered", "eval_6m", "eval_6m_baseline",
            "train_eval", "score_pair"]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _sr_infer(variables, x, train_mode, bf16, layout):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _sr_infer(variables, x, train_mode, bf16, layout, fold=False):
     # `layout` is part of the jit cache key only: the modules read the
     # process-global layout at trace time, so keying on it here makes a
     # later set_layout() retrace instead of silently reusing a program
-    # compiled for the old layout (ADVICE r2).
+    # compiled for the old layout (ADVICE r2).  `fold` is both cache key
+    # AND trace-scoped activation of the persistent-fold-region convs
+    # (use_fold) so inference callers need not manage the global.
+    from ficsr_tpu.models.layers import use_fold
     lf, hf = frequency_split(x, *RADII_A)
     if bf16:
         lf, hf = lf.astype(jnp.bfloat16), hf.astype(jnp.bfloat16)
-    out, _ = MODELS["a2b"].apply(
-        variables, lf, hf, train=train_mode, mutable=["batch_stats"])
+    with use_fold(fold):
+        out, _ = MODELS["a2b"].apply(
+            variables, lf, hf, train=train_mode, mutable=["batch_stats"])
     return out[2].astype(jnp.float32)
 
 
 def make_sr_infer(variables: dict, train_mode: bool = False,
-                  bf16: bool = False) -> Callable:
+                  bf16: bool = False, conv_fold: str = "auto") -> Callable:
     """Jitted LR->SR inference: split real_A at A-radii, run NetworkA2B.
 
     `variables` = {'params':..., 'batch_stats':...} for NetworkA2B.
@@ -57,10 +61,15 @@ def make_sr_infer(variables: dict, train_mode: bool = False,
     updates) reuse the compiled program instead of re-jitting a new
     closure — compiles cost minutes on the tunneled TPU.  bf16 runs the
     generator in bfloat16 activations (94.8 dB agreement with fp32).
+    `conv_fold` resolves via resolve_conv_fold_infer (exact-equivalent
+    persistent-fold-region convs; values pinned by tests/test_conv_fold).
     """
     from ficsr_tpu.models.layers import get_layout
+    from ficsr_tpu.train.config import resolve_conv_fold_infer
 
-    fn = lambda x: _sr_infer(variables, x, train_mode, bf16, get_layout())
+    fn = lambda x: _sr_infer(variables, x, train_mode, bf16, get_layout(),
+                             resolve_conv_fold_infer(conv_fold,
+                                                     batch=x.shape[0]))
     fn.train_mode = train_mode  # read by _batched_scores' padding guard
     return fn
 

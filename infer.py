@@ -33,6 +33,10 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (94.8 dB agreement w/ fp32)")
+    p.add_argument("--conv_fold", default="auto",
+                   choices=["auto", "off", "region"],
+                   help="persistent-fold-region convs (exact; see "
+                        "resolve_conv_fold_infer)")
     args = p.parse_args()
 
     if not os.path.exists(args.ckpt):
@@ -66,7 +70,8 @@ def main():
 
         variables = convert_network_a2b(load_torch_checkpoint(args.ckpt))
 
-    infer = evaluate.make_sr_infer(variables, bf16=args.bf16)
+    infer = evaluate.make_sr_infer(variables, bf16=args.bf16,
+                                   conv_fold=args.conv_fold)
 
     if os.path.isdir(args.input):
         names = sorted(

@@ -367,3 +367,70 @@ def test_train_step_accepts_lr_pair(rng, fast_state, fast_step):
     d_lr = float(new.d_opt.hyperparams["learning_rate"])
     assert abs(g_lr - 2e-4) < 1e-9
     assert abs(d_lr - 1.3e-4) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Inference fold plumbing (r3c): conv_fold is a static arg of the jitted
+# _sr_infer (cache key + trace-scoped use_fold) and resolves through
+# resolve_conv_fold_infer for bench.py / infer.py / serving / eval.
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_conv_fold_infer_contract():
+    from ficsr_tpu.train.config import resolve_conv_fold_infer
+
+    # explicit modes under NHWC
+    assert resolve_conv_fold_infer("off", layout="NHWC") is False
+    assert resolve_conv_fold_infer("region", layout="NHWC") == "region"
+    assert resolve_conv_fold_infer("on", layout="NHWC") is True
+    # fold formulations require the channels-last layout
+    assert resolve_conv_fold_infer("off", layout="NCHW") is False
+    assert resolve_conv_fold_infer("auto", layout="NCHW") is False
+    with pytest.raises(ValueError):
+        resolve_conv_fold_infer("region", layout="NCHW")
+    # 'auto' never raises and yields a valid mode on any backend
+    assert resolve_conv_fold_infer("auto", layout="NHWC") in (
+        False, "region")
+    # 'auto' is batch-aware: region only inside the measured TPU
+    # window (benchmarks/README.md r3c); off at b1, large batch, and
+    # unknown (symbolic) batch on every backend
+    for b in (None, 1, 128):
+        assert resolve_conv_fold_infer("auto", layout="NHWC",
+                                       batch=b) is False
+    mid = resolve_conv_fold_infer("auto", layout="NHWC", batch=16)
+    import jax
+    assert mid == ("region" if jax.default_backend() == "tpu" else False)
+
+
+def test_sr_infer_fold_region_equivalence(rng):
+    """The jitted eval-path SR inference (_sr_infer via make_sr_infer)
+    computes identical outputs with conv_fold='region' vs 'off'."""
+    from ficsr_tpu.train import evaluate
+    from ficsr_tpu.train.state import MODELS
+
+    with use_layout("NHWC"):
+        a2b = MODELS["a2b"]
+        x0 = jnp.zeros((1, 1, 32, 32), jnp.float32)
+        variables = a2b.init(jax.random.PRNGKey(0), x0, x0, train=False)
+        x = jnp.asarray(rng.standard_normal((2, 1, 32, 32)), jnp.float32)
+        y_off = evaluate.make_sr_infer(variables, conv_fold="off")(x)
+        y_reg = evaluate.make_sr_infer(variables, conv_fold="region")(x)
+        np.testing.assert_allclose(np.asarray(y_reg), np.asarray(y_off),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_serving_infer_fn_fold_region_equivalence(rng):
+    """serving.make_infer_fn traces the region fold into the artifact
+    computation and stays value-identical to the plain path."""
+    from ficsr_tpu.serving import make_infer_fn
+    from ficsr_tpu.train.state import MODELS
+
+    with use_layout("NHWC"):
+        a2b = MODELS["a2b"]
+        x0 = jnp.zeros((1, 1, 32, 32), jnp.float32)
+        variables = a2b.init(jax.random.PRNGKey(0), x0, x0, train=False)
+        x = jnp.asarray(rng.standard_normal((2, 1, 32, 32)), jnp.float32)
+        y_off = jax.jit(make_infer_fn(variables, conv_fold="off"))(x)
+        y_reg = jax.jit(make_infer_fn(variables, conv_fold="region"))(x)
+        np.testing.assert_allclose(np.asarray(y_reg), np.asarray(y_off),
+                                   atol=5e-5, rtol=1e-4)
