@@ -418,7 +418,10 @@ def main():
     f, a = make_fwdbwd(convt_nhwc, xDh, wDh)
     record("D.convT4x4s2 nhwc fwd+bwd", (f, a), 3 * flD)
     # subpixel (r3c): dense 2x2 conv at the LR grid + depth-to-space —
-    # no zero-dilated input; 12 ConvT fwd+bwd instances per step
+    # no zero-dilated input.  MEASURED LOSS 3.4x fwd / 2.8x fwd+bwd
+    # (5.61/10.38 ms vs 1.65/3.70): XLA's lhs-dilated emitter already
+    # skips the zeros, and the 4-phase stack/interleave epilogue
+    # dominates.  Kept as the recorded dead end — do not re-adopt.
     f, a = make_fwd(convt_subpixel, xDh, wDh)
     record("D.convT4x4s2 subpixel fwd", (f, a), flD)
     f, a = make_fwdbwd(convt_subpixel, xDh, wDh)
