@@ -231,6 +231,12 @@ def check_s2dw():
     x = jax.random.normal(k, (2, 16, 24, 64), jnp.float32)
     w3 = jax.random.normal(k, (3, 3, 64, 32), jnp.float32) * 0.1
     ref = conv_nhwc(x, w3, pad=1)
+    # pin this file's generalized fold_kernel_w (any r) to the
+    # production r=2 kernel builder so the recorded s2dw rows cannot
+    # silently drift from what the model actually runs
+    from ficsr_tpu.models.layers import _width_fold_kernel
+    np.testing.assert_allclose(fold_kernel_w(w3, 2),
+                               _width_fold_kernel(w3, 1), atol=0)
     np.testing.assert_allclose(conv_shift9(x, w3), ref, atol=2e-4)
     np.testing.assert_allclose(conv_shift9(x, w3, acc_f32=True), ref,
                                atol=2e-4)

@@ -59,7 +59,14 @@ class ImageDataset:
         return a, b
 
     def shuffled_indices(self, epoch: int) -> np.ndarray:
-        rng = np.random.RandomState(hash(("epoch", epoch)) % (2 ** 31))
+        # Deterministic ACROSS PROCESSES: multi-host data sharding
+        # (prefetch_batches shard=) slices every host's shard out of
+        # this permutation, so it must be identical on every host.
+        # Python's hash() is PYTHONHASHSEED-salted per process — using
+        # it here silently gave each host a different permutation
+        # (duplicated + dropped samples per global batch).
+        rng = np.random.RandomState((0x5EED ^ (2654435761 * (epoch + 1)))
+                                    % (2 ** 31))
         return rng.permutation(len(self))
 
 

@@ -149,13 +149,17 @@ def _train_epochs(config, state, step_fn, put, dataset, test_dataset, rng,
             total_steps += 1
 
             if i == 1:
-                real_out = np.asarray(real_a)
+                # fetch only this host's first shard: a batch-sharded
+                # global array spans non-addressable devices on a pod,
+                # so np.asarray(real_a) would raise there — and the
+                # dump only uses batch row 0 anyway
+                real_out = np.asarray(real_a.addressable_shards[0].data)
                 # sample through the updated generator (train.py:274-281)
                 infer = evaluate.make_sr_infer({
                     "params": state.g_params["a2b"],
                     "batch_stats": state.g_stats["a2b"],
                 })
-                fake_out = np.asarray(infer(real_a[:1]))
+                fake_out = np.asarray(infer(jnp.asarray(real_out[:1])))
             if config.log_every and i % config.log_every == 0:
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                 print(f"epoch {epoch} it {i} "

@@ -57,7 +57,14 @@ def _pkg_resources_shim():
 
 
 def install():
-    """Register the shims and put the reference tree on sys.path."""
+    """Register the shims and put the reference tree on sys.path
+    (skips the calling test when the reference tree is absent)."""
+    import os
+    try:
+        from . import ref_shims
+    except ImportError:  # imported as a top-level module (benchmarks/)
+        import ref_shims
+    ref_shims.require_reference()
     if "pywt" not in sys.modules:
         mod = types.ModuleType("pywt")
         mod.Wavelet = Wavelet
@@ -69,6 +76,6 @@ def install():
             import pkg_resources  # noqa: F401
         except ImportError:
             sys.modules["pkg_resources"] = _pkg_resources_shim()
-    ref = "/root/reference/pytorch_wavelets"
+    ref = os.path.join(ref_shims.REFERENCE_ROOT, "pytorch_wavelets")
     if ref not in sys.path:
         sys.path.insert(0, ref)

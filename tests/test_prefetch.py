@@ -95,6 +95,44 @@ def test_sharded_prefetch_deterministic_per_host():
         np.testing.assert_array_equal(b1, b2)
 
 
+def test_shuffled_indices_stable_across_processes():
+    """Multi-host sharding slices every host's shard out of ONE epoch
+    permutation, so shuffled_indices must not depend on process state.
+    Regression: hash(('epoch', e)) is PYTHONHASHSEED-salted per
+    process — each host silently got a different permutation."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    import ficsr_tpu.data.datasets as dsmod
+
+    with tempfile.TemporaryDirectory() as root:
+        for sub in ("trainA", "trainB"):
+            os.makedirs(os.path.join(root, sub))
+            from PIL import Image
+            for i in range(5):
+                Image.fromarray(np.zeros((4, 4), np.uint8)).save(
+                    os.path.join(root, sub, f"im{i}.png"))
+        ds = dsmod.ImageDataset(root)
+        local = [ds.shuffled_indices(e).tolist() for e in (0, 3)]
+        code = (
+            "import json,sys; sys.path.insert(0, %r);"
+            "from ficsr_tpu.data.datasets import ImageDataset;"
+            "ds = ImageDataset(%r);"
+            "print(json.dumps([ds.shuffled_indices(e).tolist() "
+            "for e in (0, 3)]))"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+             root)
+        env = dict(os.environ, PYTHONHASHSEED="12345", JAX_PLATFORMS="cpu")
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, check=True)
+        import json
+        assert json.loads(out.stdout.strip()) == local
+        # and distinct epochs still get distinct permutations
+        assert local[0] != local[1]
+
+
 def test_sharded_prefetch_validates():
     ds = _FakeDataset(8)
     with pytest.raises(ValueError):

@@ -13,8 +13,11 @@ from ficsr_tpu.ops.ssim import SSIM, ssim
 
 
 def _ref_ssim(img1_np, img2_np):
-    sys.path.insert(0, "/root/reference")
-    import ssim as ref_ssim_mod  # /root/reference/ssim.py (torch CPU ok)
+    from . import ref_shims
+    ref_shims.require_reference()  # skip without the reference tree
+    if ref_shims.REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, ref_shims.REFERENCE_ROOT)
+    import ssim as ref_ssim_mod  # <reference>/ssim.py (torch CPU ok)
 
     with torch.no_grad():
         out = ref_ssim_mod.ssim(
