@@ -49,18 +49,31 @@ def main():
                     help="skip rows already present in the output json "
                          "(crash-resumable slicing on the slow "
                          "remote-compile tunnel)")
+    ap.add_argument("--layout", default="auto",
+                    choices=["auto", "NCHW", "NHWC"],
+                    help="activation layout (auto = the production "
+                         "train.py resolution: NHWC at batch>=8 on TPU)")
+    ap.add_argument("--conv_fold", default="auto",
+                    choices=["auto", "on", "off", "k7", "region"],
+                    help="persistent-fold mode (auto = production: "
+                         "'region' on TPU under NHWC)")
     args = ap.parse_args()
     b, it = args.batch, args.iters
     dt = jnp.float32 if args.fp32 else jnp.bfloat16
 
+    from ficsr_tpu.models.layers import set_layout, use_fold
     from ficsr_tpu.ops.freq import RADII_A, frequency_split
-    from ficsr_tpu.train.config import TrainConfig
+    from ficsr_tpu.train.config import (TrainConfig, resolve_conv_fold,
+                                        resolve_layout)
     from ficsr_tpu.train.state import MODELS, create_train_state, \
         make_optimizer
     from ficsr_tpu.train.step import build_loss_fns
 
+    set_layout(resolve_layout(args.layout, train=True, batch=b))
     cfg = TrainConfig(batchSize=b, bf16=not args.fp32, remat=args.remat,
-                      fused_streams=args.fused)
+                      fused_streams=args.fused, conv_fold=args.conv_fold)
+    fold = resolve_conv_fold(cfg)
+    print(f"# layout={args.layout} -> conv_fold={fold!r}", flush=True)
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     g_loss_fn, d_loss_fn = build_loss_fns(cfg)
     tx = make_optimizer()
@@ -72,7 +85,8 @@ def main():
 
     tag = (f"b{b}_{'fp32' if args.fp32 else 'bf16'}"
            + ("_remat" if args.remat else "")
-           + ("_fused" if args.fused else ""))
+           + ("_fused" if args.fused else "")
+           + (f"_fold-{fold}" if fold else ""))
     out = os.path.join(os.path.dirname(__file__), f"step_profile_{tag}.json")
     res = {}
     if os.path.isfile(out):
@@ -104,15 +118,19 @@ def main():
 
     @jax.jit
     def f_fwd(lf, hf, acc):
-        out, mut = a2b.apply(va, lf, hf, train=True, mutable=["batch_stats"])
+        with use_fold(fold):
+            out, mut = a2b.apply(va, lf, hf, train=True,
+                                 mutable=["batch_stats"])
         return acc + jnp.mean(out[2].astype(jnp.float32)) + tree_acc(mut)
     micro and rec("a2b fwd (train BN)", lambda: honest(f_fwd, (lf, hf), it))
 
     @jax.jit
     def f_fwdbwd(lf, hf, acc):
         def loss(p):
-            out, mut = a2b.apply({"params": p, "batch_stats": va["batch_stats"]},
-                               lf, hf, train=True, mutable=["batch_stats"])
+            with use_fold(fold):
+                out, mut = a2b.apply(
+                    {"params": p, "batch_stats": va["batch_stats"]},
+                    lf, hf, train=True, mutable=["batch_stats"])
             return jnp.mean(jnp.square(out[2].astype(jnp.float32))), mut
         (v, mut), g = jax.value_and_grad(loss, has_aux=True)(va["params"])
         return acc + v + tree_acc(g) + tree_acc(mut)
@@ -138,10 +156,16 @@ def main():
         return acc + v + tree_acc(g) + tree_acc(mut)
     micro and rec("D fwd+bwd", lambda: honest(d_fwdbwd, (img,), it))
 
+    # state pieces are ARGUMENTS, not closure constants: with the fold
+    # region active, closed-over weights turn the trace-time
+    # _width_fold_kernel scatter chains into giant constant expressions
+    # that XLA tries to const-fold — observed >40 min compile for this
+    # one probe (vs minutes with the state passed in)
     @jax.jit
-    def g_phase(gp, acc):
-        (l, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            gp, state.g_stats, state.d_params, state.d_stats, ra, rb)
+    def g_phase(gp, gs, dp, ds, acc):
+        with use_fold(fold):
+            (l, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                gp, gs, dp, ds, ra, rb)
         # fold the BN running-stat updates too — dropping them lets XLA
         # DCE those update chains and under-report the phase.  The
         # fake_a/fake_b aux images are NOT folded: they already feed the
@@ -150,15 +174,17 @@ def main():
         return acc + l + tree_acc(grads) \
             + tree_acc(aux["g_stats"]) + tree_acc(aux["metrics"])
     rec("G phase (loss fwd+bwd)",
-        lambda: honest(g_phase, (state.g_params,), it))
+        lambda: honest(g_phase, (state.g_params, state.g_stats,
+                                 state.d_params, state.d_stats), it))
 
     @jax.jit
-    def d_phase(dp, acc):
-        (l, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            dp, state.d_stats, ra, rb, ra, rb)
+    def d_phase(dp, ds, acc):
+        with use_fold(fold):
+            (l, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                dp, ds, ra, rb, ra, rb)
         return acc + l + tree_acc(grads) + tree_acc(aux)
     rec("D phase (loss fwd+bwd)",
-        lambda: honest(d_phase, (state.d_params,), it))
+        lambda: honest(d_phase, (state.d_params, state.d_stats), it))
 
     zeros_g = jax.tree.map(jnp.zeros_like, state.g_params)
 
