@@ -4,7 +4,7 @@
 .PHONY: test test-fast test-slow bench bench-train lint dryrun ci
 
 # CI-equivalent gate (reference ships .travis.yml/tox): lint + the full
-# suite with the run recorded under logs/ (latest green: logs/test_full_r02.log)
+# suite with the run recorded under logs/ (latest green: logs/test_full_r03.log)
 ci:
 	mkdir -p logs
 	python -m compileall -q ficsr_tpu tests *.py
