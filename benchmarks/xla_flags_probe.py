@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Probe: do XLA/libtpu tuning flags move the two headline programs?
+
+Tries a small set of long-standing TPU compiler knobs on top of the
+production configuration and measures both headline programs via
+subprocess `bench.py` runs (flags must be set before backend init, so
+each flag-set gets its own process; each run recompiles — the flags
+change the executable):
+
+  * inference, batch 128 bf16 NHWC (the img/s headline)
+  * train step, batch 16 bf16 fold-region (the steps/sec headline)
+
+Flag sets:
+  baseline        (empty — the numbers every other benchmark reports)
+  vmem64m         --xla_tpu_scoped_vmem_limit_kib=65536
+                  (bigger scoped-VMEM scratch budget -> larger fusions)
+  lhs             --xla_tpu_enable_latency_hiding_scheduler=true
+                  (mostly a collectives knob; included to pin that it
+                  is neutral single-chip)
+
+A flag unknown to this XLA/libtpu build makes the subprocess die at
+startup; that is recorded as {"error": ...} rather than crashing the
+probe, so the probe doubles as a flag-availability check across
+libtpu bumps (like mosaic_probes.py / int8_probe.py).
+
+Output: benchmarks/xla_flags_probe.json
+Usage:  python benchmarks/xla_flags_probe.py [--skip-train]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "benchmarks", "xla_flags_probe.json")
+
+FLAG_SETS = {
+    "baseline": "",
+    "vmem64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
+    "lhs": "--xla_tpu_enable_latency_hiding_scheduler=true",
+}
+
+
+def run_bench(extra_flags: str, train: bool) -> dict:
+    env = dict(os.environ)
+    if extra_flags:
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " "
+                            + extra_flags).strip()
+    # flags change the executable; no cache-poisoning risk: the axon
+    # plugin folds a per-session id into the persistent-cache key, so
+    # every subprocess compiles fresh under its own flags (r1 finding,
+    # benchmarks/README.md)
+    cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
+    if train:
+        cmd += ["--train", "--batch", "16", "--bf16"]
+    try:
+        p = subprocess.run(cmd, env=env, cwd=ROOT, capture_output=True,
+                           text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout"}
+    line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if p.returncode != 0 or not line:
+        return {"error": (p.stderr.strip().splitlines() or ["no output"])
+                [-1][:300]}
+    return json.loads(line[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-train", action="store_true")
+    args = ap.parse_args()
+
+    res = {}
+    for name, flags in FLAG_SETS.items():
+        for kind in (("infer",) if args.skip_train else ("infer", "train")):
+            r = run_bench(flags, train=(kind == "train"))
+            key = f"{name}.{kind}"
+            res[key] = r
+            print(f"{key:24s} {json.dumps(r)}", flush=True)
+            with open(OUT, "w") as fh:
+                json.dump(res, fh, indent=1)
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()
