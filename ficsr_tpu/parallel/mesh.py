@@ -17,7 +17,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "shard_train_step"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "shard_train_step",
+           "state_shardings"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -51,16 +52,45 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
-def shard_train_step(train_step, mesh: Mesh, axis: str = "data"):
+def state_shardings(mesh: Mesh, state_template, replay_sharded: bool =
+                    False, axis: str = "data"):
+    """TrainState-shaped pytree of shardings: everything replicated,
+    except — when `replay_sharded` (TrainConfig.replay_shards ==
+    mesh size) — the replay buffers' leading shard axis rides the data
+    axis, so each DP shard's buffer lives only on its own device."""
+    rep = NamedSharding(mesh, P())
+    shardings = jax.tree.map(lambda _: rep, state_template)
+    if replay_sharded:
+        dp = NamedSharding(mesh, P(axis))
+        buf = jax.tree.map(lambda _: dp, state_template.buf_a)
+        shardings = shardings.replace(buf_a=buf, buf_b=buf)
+    return shardings
+
+
+def shard_train_step(train_step, mesh: Mesh, axis: str = "data",
+                     state_template=None, replay_sharded: bool = False):
     """Wrap a jitted train step with explicit DP shardings: state
-    replicated, batch sharded on dim 0, scalars replicated."""
+    replicated, batch sharded on dim 0, scalars replicated.
+
+    `replay_sharded` (requires `state_template`, a concrete or abstract
+    TrainState built with TrainConfig.replay_shards == mesh size) keeps
+    the replay buffers sharded over the data axis on both sides of the
+    step, so the per-shard updates (replay.push_and_pop_sharded) stay
+    device-local instead of all-gathering fakes into a replicated
+    buffer."""
     rep = NamedSharding(mesh, P())
     dp = NamedSharding(mesh, P(axis))
+    if replay_sharded:
+        assert state_template is not None, \
+            "replay_sharded needs a state_template"
+        st = state_shardings(mesh, state_template, True, axis)
+    else:
+        st = rep
 
     return jax.jit(
         train_step,
-        in_shardings=(rep, dp, dp, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(st, dp, dp, rep),
+        out_shardings=(st, rep),
         donate_argnums=(0,),
     )
 

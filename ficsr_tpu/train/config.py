@@ -80,6 +80,16 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 50
     replay_buffer_size: int = 50
+    # replay-buffer sharding under data parallelism.  1 (default) = the
+    # reference's single global 50-slot history, kept replicated — XLA
+    # all-gathers each step's fakes to every device (fine at b128;
+    # ~0.7% of the step).  n>1 = n independent histories with a leading
+    # shard axis sharded over the DP mesh: each device's fakes stay
+    # local (no all-gather), at the documented cost of per-shard
+    # instead of global history mixing.  Must equal the mesh size and
+    # divide batchSize; intended for config-5-scale batches (b>=1024)
+    # where the gather and the replicated (N,N) collision matrix grow.
+    replay_shards: int = 1
     # activation layout inside the models: 'auto' = NHWC on TPU (measured
     # faster — benchmarks/conv_experiments.json), NCHW elsewhere.
     # Parameters/checkpoints are layout-free (stored OIHW).

@@ -18,8 +18,8 @@ import numpy as np
 from ficsr_tpu.data.datasets import ImageDataset, ImageDataset6mm
 from ficsr_tpu.data.pipeline import preprocess_train_a, preprocess_train_b
 from ficsr_tpu.parallel.mesh import (
-    make_mesh, maybe_init_distributed, replicate, shard_batch,
-    shard_train_step)
+    make_mesh, maybe_init_distributed, shard_batch,
+    shard_train_step, state_shardings)
 from ficsr_tpu.train import evaluate
 from ficsr_tpu.train.config import TrainConfig
 from ficsr_tpu.train.schedule import (
@@ -85,10 +85,26 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
     if config.data_parallel and jax.device_count() > 1 and \
             config.batchSize % jax.device_count() == 0:
         mesh = make_mesh()
-        step_fn = shard_train_step(build_train_step(config, jit=False), mesh)
-        state = replicate(mesh, state)
+        replay_sharded = config.replay_shards > 1
+        if replay_sharded:
+            if config.replay_shards != mesh.size or \
+                    config.batchSize % config.replay_shards:
+                raise ValueError(
+                    f"replay_shards={config.replay_shards} must equal the "
+                    f"mesh size ({mesh.size}) and divide "
+                    f"batchSize={config.batchSize}")
+        step_fn = shard_train_step(build_train_step(config, jit=False),
+                                   mesh, state_template=state,
+                                   replay_sharded=replay_sharded)
+        state = jax.device_put(
+            state, state_shardings(mesh, state, replay_sharded))
         put = lambda x: shard_batch(mesh, x)  # noqa: E731
     else:
+        if config.replay_shards > 1 and \
+                config.batchSize % config.replay_shards:
+            raise ValueError(
+                f"replay_shards={config.replay_shards} must divide "
+                f"batchSize={config.batchSize}")
         step_fn = build_train_step(config)
         put = lambda x: x  # noqa: E731
 

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["ReplayBufferState", "replay_init", "push_and_pop",
-           "push_and_pop_scan"]
+           "push_and_pop_scan", "push_and_pop_sharded"]
 
 
 @flax.struct.dataclass
@@ -42,10 +42,15 @@ class ReplayBufferState:
 
 
 def replay_init(max_size: int, shape: Tuple[int, ...],
-                dtype=jnp.float32) -> ReplayBufferState:
+                dtype=jnp.float32, shards: int = 1) -> ReplayBufferState:
+    """shards=1 (default): the reference's single global 50-slot history.
+    shards=n: n independent max_size-slot histories with a leading shard
+    axis — under data parallelism each DP shard keeps its own buffer
+    (see `push_and_pop_sharded`), so fakes never leave their device."""
+    lead = () if shards == 1 else (shards,)
     return ReplayBufferState(
-        data=jnp.zeros((max_size,) + tuple(shape), dtype),
-        size=jnp.zeros((), jnp.int32),
+        data=jnp.zeros(lead + (max_size,) + tuple(shape), dtype),
+        size=jnp.zeros(lead, jnp.int32),
     )
 
 
@@ -98,6 +103,30 @@ def push_and_pop(state: ReplayBufferState, batch: jnp.ndarray,
         batch.astype(state.data.dtype), mode="drop")
     size = jnp.minimum(state.size + n, max_size).astype(jnp.int32)
     return ReplayBufferState(data=data, size=size), out
+
+
+def push_and_pop_sharded(state: ReplayBufferState, batch: jnp.ndarray,
+                         rng: jax.Array
+                         ) -> Tuple[ReplayBufferState, jnp.ndarray]:
+    """Per-shard replay update for a `replay_init(..., shards=n)` state.
+
+    `batch` is (N, ...) with N % n == 0; rows [i*N/n, (i+1)*N/n) belong
+    to shard i.  Each shard runs the exact `push_and_pop` semantics on
+    its own rows against its own buffer (vmap over the shard axis).
+    Under a DP mesh with the buffer's shard axis and the batch's row
+    axis both sharded on the data axis, every shard's update is local
+    to its device — no all-gather of fake images, unlike the
+    replicated-buffer path.  The trade (documented in
+    TrainConfig.replay_shards): n independent max_size-slot histories
+    instead of the reference's single global one.
+    """
+    shards = state.size.shape[0]
+    n = batch.shape[0]
+    assert n % shards == 0, (n, shards)
+    grouped = batch.reshape((shards, n // shards) + batch.shape[1:])
+    keys = jax.random.split(rng, shards)
+    new_state, pool = jax.vmap(push_and_pop)(state, grouped, keys)
+    return new_state, pool.reshape(batch.shape)
 
 
 def push_and_pop_scan(state: ReplayBufferState, batch: jnp.ndarray,

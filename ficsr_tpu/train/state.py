@@ -88,8 +88,10 @@ def create_train_state(config: TrainConfig, rng: jax.Array) -> TrainState:
         d_stats=d_stats,
         g_opt=tx.init(g_params),
         d_opt=tx.init(d_params),
-        buf_a=replay_init(config.replay_buffer_size, img_shape),
-        buf_b=replay_init(config.replay_buffer_size, img_shape),
+        buf_a=replay_init(config.replay_buffer_size, img_shape,
+                          shards=config.replay_shards),
+        buf_b=replay_init(config.replay_buffer_size, img_shape,
+                          shards=config.replay_shards),
         rng=k[4],
         step=jnp.zeros((), jnp.int32),
     )

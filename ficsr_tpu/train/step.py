@@ -30,7 +30,7 @@ import optax
 from ficsr_tpu.models.losses import bce_with_logits, gan_mse_loss, l1_loss
 from ficsr_tpu.ops.freq import RADII_A, RADII_B, frequency_split
 from ficsr_tpu.train.config import TrainConfig
-from ficsr_tpu.train.replay import push_and_pop
+from ficsr_tpu.train.replay import push_and_pop, push_and_pop_sharded
 from ficsr_tpu.train.state import MODELS, TrainState, make_optimizer, models_for
 
 __all__ = ["build_train_step", "build_loss_fns", "generator_forward"]
@@ -305,8 +305,12 @@ def build_train_step(config: TrainConfig, jit: bool = True,
         g_params = optax.apply_updates(state.g_params, g_updates)
 
         # ---- replay buffers (train.py:250,262) ----
-        buf_a, fake_a_pool = push_and_pop(state.buf_a, g_aux["fake_a"], k_buf_a)
-        buf_b, fake_b_pool = push_and_pop(state.buf_b, g_aux["fake_b"], k_buf_b)
+        # replay_shards>1: per-DP-shard buffers, updates stay device-
+        # local (TrainConfig.replay_shards; replay.push_and_pop_sharded)
+        pp = push_and_pop_sharded if config.replay_shards > 1 \
+            else push_and_pop
+        buf_a, fake_a_pool = pp(state.buf_a, g_aux["fake_a"], k_buf_a)
+        buf_b, fake_b_pool = pp(state.buf_b, g_aux["fake_b"], k_buf_b)
 
         # ---- D phase ----
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(

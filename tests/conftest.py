@@ -13,6 +13,13 @@ import os
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    # XLA:CPU collectives abort the whole process ("Exiting to ensure a
+    # consistent program state") if any participant is >40 s late to a
+    # rendezvous.  On a 1-core CI host, 8 virtual device threads plus a
+    # concurrent trace/compile can starve one participant past that —
+    # observed as a flaky "Fatal Python error: Aborted" in the DP tests.
+    # Keep the 20 s stuck-warning, but only terminate after 10 min.
+    " --xla_cpu_collective_call_terminate_timeout_seconds=600"
 )
 
 import jax  # noqa: E402
