@@ -12,7 +12,7 @@ change the executable):
 
 Flag sets:
   baseline        (empty — the numbers every other benchmark reports)
-  vmem64m         --xla_tpu_scoped_vmem_limit_kib=65536
+  vmem32m/64m/128m --xla_tpu_scoped_vmem_limit_kib={32768,65536,131072}
                   (bigger scoped-VMEM scratch budget -> larger fusions)
   lhs             --xla_tpu_enable_latency_hiding_scheduler=true
                   (mostly a collectives knob; included to pin that it
@@ -38,14 +38,26 @@ OUT = os.path.join(ROOT, "benchmarks", "xla_flags_probe.json")
 
 FLAG_SETS = {
     "baseline": "",
+    "vmem32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
     "vmem64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
+    "vmem128m": "--xla_tpu_scoped_vmem_limit_kib=131072",
     "lhs": "--xla_tpu_enable_latency_hiding_scheduler=true",
+    # "LIBTPU:" prefix -> LIBTPU_INIT_ARGS instead of XLA_FLAGS (the
+    # PJRT-plugin channel for libtpu knobs; XLA_FLAGS is parsed by the
+    # *client* process, which on axon knows no TPU flags — measured
+    # 2026-08-19, every --xla_tpu_* set above dies in
+    # parse_flags_from_env.cc client-side)
+    "libtpu_vmem64m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=65536",
+    "libtpu_lhs": "LIBTPU:--xla_tpu_enable_latency_hiding_scheduler=true",
 }
 
 
 def run_bench(extra_flags: str, train: bool) -> dict:
     env = dict(os.environ)
-    if extra_flags:
+    if extra_flags.startswith("LIBTPU:"):
+        env["LIBTPU_INIT_ARGS"] = (env.get("LIBTPU_INIT_ARGS", "") + " "
+                                   + extra_flags[len("LIBTPU:"):]).strip()
+    elif extra_flags:
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " "
                             + extra_flags).strip()
     # flags change the executable; no cache-poisoning risk: the axon
@@ -70,11 +82,28 @@ def run_bench(extra_flags: str, train: bool) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--train-only", action="store_true",
+                    help="probe the train step only (each run costs a "
+                         "fresh ~5-7 min compile on the tunneled chip)")
+    ap.add_argument("--only", default="",
+                    help="comma-separated flag-set names to (re)run; "
+                         "others keep their merged previous results")
     args = ap.parse_args()
 
+    kinds = ("infer", "train")
+    if args.skip_train:
+        kinds = ("infer",)
+    elif args.train_only:
+        kinds = ("train",)
     res = {}
+    if os.path.exists(OUT):  # merge across partial runs
+        with open(OUT) as fh:
+            res = json.load(fh)
+    only = {n for n in args.only.split(",") if n}
     for name, flags in FLAG_SETS.items():
-        for kind in (("infer",) if args.skip_train else ("infer", "train")):
+        if only and name not in only:
+            continue
+        for kind in kinds:
             r = run_bench(flags, train=(kind == "train"))
             key = f"{name}.{kind}"
             res[key] = r
