@@ -23,8 +23,10 @@ startup; that is recorded as {"error": ...} rather than crashing the
 probe, so the probe doubles as a flag-availability check across
 libtpu bumps (like mosaic_probes.py / int8_probe.py).
 
-Output: benchmarks/xla_flags_probe.json
-Usage:  python benchmarks/xla_flags_probe.py [--skip-train]
+Output: benchmarks/xla_flags_probe.json (each entry carries a
+`_conditions` provenance stamp: date, kinds run, host-load note)
+Usage:  python benchmarks/xla_flags_probe.py
+            [--skip-train | --train-only] [--only NAME[,NAME...]]
 """
 
 import argparse
@@ -81,10 +83,12 @@ def run_bench(extra_flags: str, train: bool) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--skip-train", action="store_true")
-    ap.add_argument("--train-only", action="store_true",
-                    help="probe the train step only (each run costs a "
-                         "fresh ~5-7 min compile on the tunneled chip)")
+    g = ap.add_mutually_exclusive_group()
+    g.add_argument("--skip-train", action="store_true",
+                   help="probe inference only")
+    g.add_argument("--train-only", action="store_true",
+                   help="probe the train step only (each run costs a "
+                        "fresh ~5-7 min compile on the tunneled chip)")
     ap.add_argument("--only", default="",
                     help="comma-separated flag-set names to (re)run; "
                          "others keep their merged previous results")
@@ -95,17 +99,30 @@ def main():
         kinds = ("infer",)
     elif args.train_only:
         kinds = ("train",)
+    only = {n for n in args.only.split(",") if n}
+    unknown = only - set(FLAG_SETS)
+    if unknown:
+        ap.error(f"--only: unknown flag-set name(s) {sorted(unknown)}; "
+                 f"known: {sorted(FLAG_SETS)}")
     res = {}
     if os.path.exists(OUT):  # merge across partial runs
         with open(OUT) as fh:
             res = json.load(fh)
-    only = {n for n in args.only.split(",") if n}
+    if not only:
+        # full run: prune entries for flag sets renamed/removed since
+        valid = {f"{n}.{k}" for n in FLAG_SETS for k in ("infer", "train")}
+        res = {k: v for k, v in res.items()
+               if k in valid or k.startswith("_")}
+    import datetime
+    stamp = {"date": datetime.date.today().isoformat(), "kinds": list(kinds),
+             "note": "quiet host unless noted; tunneled v5e chip"}
     for name, flags in FLAG_SETS.items():
         if only and name not in only:
             continue
         for kind in kinds:
             r = run_bench(flags, train=(kind == "train"))
             key = f"{name}.{kind}"
+            r["_conditions"] = stamp
             res[key] = r
             print(f"{key:24s} {json.dumps(r)}", flush=True)
             with open(OUT, "w") as fh:

@@ -31,7 +31,11 @@ __all__ = [
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x, dtype=np.float32)
+    # copy, never view: torch's .numpy() shares the parameter buffer, so
+    # a later in-place torch update (optimizer.step(), BN stat update)
+    # would silently mutate the converted tree before JAX materializes
+    # it on device (caught by tests/test_trajectory_parity.py)
+    return np.array(x, dtype=np.float32, copy=True)
 
 
 def _set(tree: dict, path: Tuple[str, ...], value: np.ndarray):
@@ -140,10 +144,10 @@ def _b2a_mapping() -> Dict[str, Tuple[str, Tuple[str, ...]]]:
     return m
 
 
-def _fsd_mapping() -> Dict[str, Tuple[str, Tuple[str, ...]]]:
+def _fsd_mapping(n_layers: int = 5) -> Dict[str, Tuple[str, Tuple[str, ...]]]:
     m: Dict[str, Tuple[str, Tuple[str, ...]]] = {}
-    _patchgan(m, "net", ("net",))
-    _patchgan(m, "net_dwt", ("net_dwt",))
+    _patchgan(m, "net", ("net",), n_layers)
+    _patchgan(m, "net_dwt", ("net_dwt",), n_layers)
     return m
 
 
@@ -166,9 +170,13 @@ def convert_network_b2a(state_dict: Mapping[str, object]) -> dict:
     return _apply(state_dict, _b2a_mapping())
 
 
-def convert_fs_discriminator(state_dict: Mapping[str, object]) -> dict:
-    """FS_DiscriminatorA/B.state_dict() (DWT filter buffers ignored)."""
-    return _apply(state_dict, _fsd_mapping())
+def convert_fs_discriminator(state_dict: Mapping[str, object],
+                             n_layers: int = 5) -> dict:
+    """FS_DiscriminatorA/B.state_dict() (DWT filter buffers ignored).
+
+    n_layers: PatchGAN depth of the source nets (reference hardcodes 5,
+    model.py:147-151; shallower variants are used by small-size tests)."""
+    return _apply(state_dict, _fsd_mapping(n_layers))
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

@@ -108,6 +108,15 @@ class TrainConfig:
     # squared multiplier, D's LR never decays.  Only meaningful with
     # scheduler=False; default off = the intended cosine behavior.
     cosine_bug_compat: bool = False
+    # reproduce the reference's eval-BN training quirk: utils.eval /
+    # eval_6m call netG_A2B.eval() every epoch (utils.py:186,221) and
+    # train.py never calls .train() again, so from the SECOND trained
+    # epoch the reference trains netG_A2B with eval-mode BatchNorm —
+    # frozen running stats used for normalization, none updated.
+    # netG_B2A and both discriminators keep train-mode BN throughout.
+    # Default off = every net trains in train mode (the intended
+    # semantics); flip on for strict training-replication experiments.
+    eval_bn_compat: bool = False
 
     @property
     def size_a_up(self) -> int:

@@ -27,7 +27,15 @@ from ficsr_tpu.train.schedule import (
 from ficsr_tpu.train.state import TrainState, create_train_state
 from ficsr_tpu.train.step import build_train_step
 
-__all__ = ["train", "save_sample"]
+__all__ = ["train", "save_sample", "a2b_train_for_epoch"]
+
+
+def a2b_train_for_epoch(config: TrainConfig, epoch: int) -> bool:
+    """eval-BN compat gate (TrainConfig.eval_bn_compat): the reference
+    evals netG_A2B after every epoch (train.py:305) and utils.eval's
+    `.eval()` (utils.py:186) is never undone, so every epoch after the
+    process's first trained one runs A2B with frozen eval-mode BN."""
+    return not (config.eval_bn_compat and epoch > config.epoch)
 
 
 def save_sample(sample_dir: str, epoch: int, array: np.ndarray,
@@ -93,9 +101,11 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
                     f"replay_shards={config.replay_shards} must equal the "
                     f"mesh size ({mesh.size}) and divide "
                     f"batchSize={config.batchSize}")
-        step_fn = shard_train_step(build_train_step(config, jit=False),
-                                   mesh, state_template=state,
-                                   replay_sharded=replay_sharded)
+        def make_step(a2b_train=True):
+            return shard_train_step(
+                build_train_step(config, jit=False, a2b_train=a2b_train),
+                mesh, state_template=state,
+                replay_sharded=replay_sharded)
         state = jax.device_put(
             state, state_shardings(mesh, state, replay_sharded))
         put = lambda x: shard_batch(mesh, x)  # noqa: E731
@@ -105,13 +115,14 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
             raise ValueError(
                 f"replay_shards={config.replay_shards} must divide "
                 f"batchSize={config.batchSize}")
-        step_fn = build_train_step(config)
+        def make_step(a2b_train=True):
+            return build_train_step(config, a2b_train=a2b_train)
         put = lambda x: x  # noqa: E731
 
     from ficsr_tpu.train.checkpoint import CheckpointWriter
     ckpt_writer = CheckpointWriter(config.output_dir)
     try:
-        state = _train_epochs(config, state, step_fn, put, dataset,
+        state = _train_epochs(config, state, make_step, put, dataset,
                               test_dataset, rng, ckpt_writer, max_steps)
     finally:
         # drain pending async checkpoint writes on EVERY exit path
@@ -121,10 +132,15 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
     return state
 
 
-def _train_epochs(config, state, step_fn, put, dataset, test_dataset, rng,
+def _train_epochs(config, state, make_step, put, dataset, test_dataset, rng,
                   ckpt_writer, max_steps):
     total_steps = 0
+    steps = {}  # a2b_train -> compiled step variant (at most two)
     for epoch in range(config.epoch, config.n_epochs):
+        a2b_train = a2b_train_for_epoch(config, epoch)
+        if a2b_train not in steps:
+            steps[a2b_train] = make_step(a2b_train)
+        step_fn = steps[a2b_train]
         if config.scheduler:
             scale = lambda_linear_decay(
                 epoch, config.n_epochs, config.epoch, config.decay_epoch)

@@ -45,10 +45,19 @@ def _apply(model, params, stats, *args, train: bool = True):
 
 
 def generator_forward(g_params, g_stats, real_a, real_b, *, train=True,
-                      remat=False, dtype=jnp.float32, fused=False):
+                      remat=False, dtype=jnp.float32, fused=False,
+                      a2b_train=True):
     """The six-forward pass block (train.py:170-214).
 
     Returns everything the losses need plus updated BN stats.
+
+    ``a2b_train=False`` replicates the reference's eval-BN training
+    quirk (TrainConfig.eval_bn_compat): `utils.eval`/`eval_6m` call
+    `netG_A2B.eval()` (utils.py:186,221) and train.py never calls
+    `.train()` again, so from the second epoch the reference trains
+    netG_A2B with BatchNorm in eval mode — normalizing by the frozen
+    running stats and updating none of them.  netG_B2A and both D keep
+    training-mode BN throughout.
 
     With ``fused=True`` (non-default, matching
     ``TrainConfig.fused_streams``; measured slower at b1 and OOM at
@@ -69,6 +78,8 @@ def generator_forward(g_params, g_stats, real_a, real_b, *, train=True,
       4. a2b on split(fake_A) -> recovered_B       (s_a update 3)
     """
     if fused:
+        assert a2b_train, "eval_bn_compat is not supported with " \
+            "fused_streams (the stream-batched BN assumes train mode)"
         return _generator_forward_fused(
             g_params, g_stats, real_a, real_b, train=train, remat=remat,
             dtype=dtype)
@@ -76,7 +87,7 @@ def generator_forward(g_params, g_stats, real_a, real_b, *, train=True,
     s_a, s_b = g_stats["a2b"], g_stats["b2a"]
 
     def run_a2b(params, stats, lf, hf):
-        f = functools.partial(_apply, a2b, train=train)
+        f = functools.partial(_apply, a2b, train=train and a2b_train)
         if remat:
             f = jax.checkpoint(f)
         return f(params, stats, lf.astype(dtype), hf.astype(dtype))
@@ -176,9 +187,12 @@ def _generator_forward_fused(g_params, g_stats, real_a, real_b, *,
     )
 
 
-def build_loss_fns(config: TrainConfig):
+def build_loss_fns(config: TrainConfig, a2b_train: bool = True):
     """(g_loss_fn, d_loss_fn) for the given config — the exact loss
-    surfaces the train step differentiates (exposed for parity tests)."""
+    surfaces the train step differentiates (exposed for parity tests).
+
+    a2b_train=False: the eval-BN training quirk (see generator_forward;
+    TrainConfig.eval_bn_compat)."""
     models = models_for(config.d_layers)
     da, db = models["da"], models["db"]
     dtype = jnp.bfloat16 if config.bf16 else jnp.float32
@@ -187,7 +201,8 @@ def build_loss_fns(config: TrainConfig):
     def g_loss_fn(g_params, g_stats, d_params, d_stats, real_a, real_b):
         fw = generator_forward(
             g_params, g_stats, real_a, real_b,
-            remat=config.remat, dtype=dtype, fused=config.fused_streams)
+            remat=config.remat, dtype=dtype, fused=config.fused_streams,
+            a2b_train=a2b_train)
 
         # GAN terms (train.py:221-225); D runs in train mode, its BN
         # stats advance, its params get no gradient (we only diff g)
@@ -270,15 +285,18 @@ def build_loss_fns(config: TrainConfig):
 
 
 def build_train_step(config: TrainConfig, jit: bool = True,
-                     donate: bool = True):
+                     donate: bool = True, a2b_train: bool = True):
     """Returns train_step(state, real_a, real_b, lr) -> (state, metrics).
 
     With jit=False the raw python function is returned so a caller can
     apply its own jit with explicit shardings (parallel/mesh.py).
     donate=False keeps the input state alive (tests, interactive use).
+    a2b_train=False compiles the eval-BN-compat variant of the step
+    (TrainConfig.eval_bn_compat; the loop switches to it from the
+    second epoch, matching reference utils.py:186 + train.py:305).
     """
     tx = make_optimizer()
-    g_loss_fn, d_loss_fn = build_loss_fns(config)
+    g_loss_fn, d_loss_fn = build_loss_fns(config, a2b_train=a2b_train)
     from ficsr_tpu.train.config import resolve_conv_fold
     fold = resolve_conv_fold(config)
 

@@ -47,10 +47,12 @@ __all__ = [
     "afb1d",
     "afb1d_multi",
     "sfb1d",
-    "afb2d",
-    "sfb2d",
+    "afb2d_nonsep",
+    "sfb2d_nonsep",
     "prep_filt_afb2d",
     "prep_filt_sfb2d",
+    "prep_filt_afb2d_nonsep",
+    "prep_filt_sfb2d_nonsep",
     "MODES",
 ]
 
@@ -249,4 +251,132 @@ def sfb1d(lo: jnp.ndarray, hi: jnp.ndarray, g0: jnp.ndarray, g1: jnp.ndarray,
         body = lax.slice_in_dim(y, L - 2, Nout, axis=axis)
         y = jnp.concatenate([head, body], axis=axis)
         y = jnp.roll(y, 1 - L // 2, axis=axis)
+    return y.reshape(n, c, y.shape[2], y.shape[3])
+
+
+# ---------------------------------------------------------------------------
+# Non-separable single-level 2-D transforms (reference alternates
+# `afb2d_nonsep`/`sfb2d_nonsep`, dwt/lowlevel.py:524-597,746-798):
+# instead of row-then-column 1-D banks, the four subbands come from ONE
+# dense convolution with the four 2-D outer-product point-spread
+# functions.  Experimental in the reference (its models never call
+# them) but part of the W4 capability surface; on TPU the 4-output
+# dense conv is a single MXU-friendly op.
+# ---------------------------------------------------------------------------
+
+
+def prep_filt_afb2d_nonsep(wave) -> np.ndarray:
+    """(4, Ly, Lx) float32 stack [ll, lh, hl, hh] of mirrored 2-D psfs
+    (reference prep_filt_afb2d_nonsep, dwt/lowlevel.py:801-833).
+
+    Built from the pre-flipped 1-D analysis filters, so
+    outer(flip(h0), flip(h0)) == the reference's ll[::-1, ::-1]."""
+    h0_col, h1_col, h0_row, h1_row = prep_filt_afb2d(wave)
+    return np.stack([
+        np.outer(h0_col, h0_row),   # ll
+        np.outer(h1_col, h0_row),   # lh
+        np.outer(h0_col, h1_row),   # hl
+        np.outer(h1_col, h1_row),   # hh
+    ]).astype(np.float32)
+
+
+def prep_filt_sfb2d_nonsep(wave) -> np.ndarray:
+    """(4, Ly, Lx) float32 [ll, lh, hl, hh] synthesis psfs, UNflipped
+    (reference prep_filt_sfb2d_nonsep, dwt/lowlevel.py:836-867; its
+    conv_transpose consumer acts as plain convolution)."""
+    g0_col, g1_col, g0_row, g1_row = prep_filt_sfb2d(wave)
+    return np.stack([
+        np.outer(g0_col, g0_row),
+        np.outer(g1_col, g0_row),
+        np.outer(g0_col, g1_row),
+        np.outer(g1_col, g1_row),
+    ]).astype(np.float32)
+
+
+def _fold_axis(y: jnp.ndarray, n2: int, l2: int, axis: int) -> jnp.ndarray:
+    """Periodization wrap: head rows/cols absorb the tail, keep n2."""
+    head = lax.slice_in_dim(y, 0, l2, axis=axis) + \
+        lax.slice_in_dim(y, n2, n2 + l2, axis=axis)
+    body = lax.slice_in_dim(y, l2, n2, axis=axis)
+    return jnp.concatenate([head, body], axis=axis)
+
+
+def afb2d_nonsep(x: jnp.ndarray, wave="haar", mode: str = "zero"
+                 ) -> jnp.ndarray:
+    """One-level 2-D analysis, non-separable formulation (reference
+    `afb2d_nonsep`, dwt/lowlevel.py:524-597).
+
+    x: (N, C, H, W) -> (N, C, 4, H', W') with bands (ll, lh, hl, hh).
+    `wave` is a wavelet name or a pre-built (4, Ly, Lx) psf stack from
+    :func:`prep_filt_afb2d_nonsep`.  Channels fold into the batch so
+    XLA sees one dense 4-output conv (no grouped conv)."""
+    f = wave if isinstance(wave, (np.ndarray, jnp.ndarray)) else \
+        prep_filt_afb2d_nonsep(wave)
+    Ly, Lx = int(f.shape[-2]), int(f.shape[-1])
+    Ny, Nx = x.shape[2], x.shape[3]
+    xf, n, c = _fold_channels(x)
+    kernel = jnp.asarray(f, x.dtype)[:, None]        # (4, 1, Ly, Lx)
+
+    def conv(xp, pad):
+        return lax.conv_general_dilated(
+            xp, kernel, window_strides=(2, 2), padding=pad,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=x.dtype)
+
+    if mode in ("per", "periodization"):
+        if Ny % 2 == 1:
+            xf = jnp.concatenate(
+                [xf, lax.slice_in_dim(xf, Ny - 1, Ny, axis=2)], axis=2)
+            Ny += 1
+        if Nx % 2 == 1:
+            xf = jnp.concatenate(
+                [xf, lax.slice_in_dim(xf, Nx - 1, Nx, axis=3)], axis=3)
+            Nx += 1
+        xf = jnp.roll(jnp.roll(xf, -(Ly // 2), axis=2), -(Lx // 2), axis=3)
+        y = conv(xf, ((Ly - 1, Ly - 1), (Lx - 1, Lx - 1)))
+        y = _fold_axis(y, Ny // 2, Ly // 2, axis=2)
+        y = _fold_axis(y, Nx // 2, Lx // 2, axis=3)
+    elif mode in ("zero", "symmetric", "reflect", "periodic", "replicate"):
+        p1 = 2 * (dwt_coeff_len(Ny, Ly, mode=mode) - 1) - Ny + Ly
+        p2 = 2 * (dwt_coeff_len(Nx, Lx, mode=mode) - 1) - Nx + Lx
+        if mode == "zero":
+            y = conv(xf, ((p1 // 2, (p1 + 1) // 2),
+                          (p2 // 2, (p2 + 1) // 2)))
+        else:
+            xf = wpad(xf, (p1 // 2, (p1 + 1) // 2), mode, axis=2)
+            xf = wpad(xf, (p2 // 2, (p2 + 1) // 2), mode, axis=3)
+            y = conv(xf, ((0, 0), (0, 0)))
+    else:
+        raise ValueError(f"Unknown pad mode: {mode}")
+    return y.reshape(n, c, 4, y.shape[2], y.shape[3])
+
+
+def sfb2d_nonsep(coeffs: jnp.ndarray, wave="haar", mode: str = "zero"
+                 ) -> jnp.ndarray:
+    """One-level 2-D synthesis from (N, C, 4, H, W) band stacks
+    (reference `sfb2d_nonsep`, dwt/lowlevel.py:746-798).
+
+    The reference's 4-input conv_transpose becomes one lhs-dilated
+    correlation with the flipped psfs — the band sum rides the conv's
+    input-channel reduction (same trick as :func:`sfb1d`)."""
+    f = wave if isinstance(wave, (np.ndarray, jnp.ndarray)) else \
+        prep_filt_sfb2d_nonsep(wave)
+    Ly, Lx = int(f.shape[-2]), int(f.shape[-1])
+    n, c = coeffs.shape[0], coeffs.shape[1]
+    Ny, Nx = coeffs.shape[-2], coeffs.shape[-1]
+    x = coeffs.reshape(n * c, 4, Ny, Nx)
+    kernel = jnp.asarray(f, coeffs.dtype)[None, :, ::-1, ::-1]  # (1,4,Ly,Lx)
+
+    periodized = mode in ("per", "periodization")
+    pad = (Ly - 1, Lx - 1) if periodized else (1, 1)
+    y = lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1),
+        padding=((pad[0], pad[0]), (pad[1], pad[1])),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=coeffs.dtype)
+    if periodized:
+        y = _fold_axis(y, 2 * Ny, Ly - 2, axis=2)
+        y = _fold_axis(y, 2 * Nx, Lx - 2, axis=3)
+        y = jnp.roll(jnp.roll(y, 1 - Ly // 2, axis=2), 1 - Lx // 2, axis=3)
     return y.reshape(n, c, y.shape[2], y.shape[3])

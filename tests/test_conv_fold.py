@@ -270,8 +270,11 @@ def test_region_generator_grad_equivalence(rng):
 
 @pytest.mark.slow
 def test_region_dp_step_equivalence(rng):
-    """conv_fold='region' under the 8-device DP mesh == single-device
-    (the folded chains trace identically under shard_map/pjit)."""
+    """The production TPU composition — NHWC x conv_fold='region' x DP —
+    under the 8-device mesh == single-device on the same global batch
+    (VERDICT r3 weak #3).  Asserts the FULL post-step state: G and D
+    params, folded-BN running stats (phase-pooling x cross-device batch
+    statistics), and the replay buffers."""
     from ficsr_tpu.parallel.mesh import (
         make_mesh, replicate, shard_batch, shard_train_step)
     from ficsr_tpu.train.config import TrainConfig
@@ -291,10 +294,19 @@ def test_region_dp_step_equivalence(rng):
         step1 = build_train_step(cfg, donate=False)
         new1, m1 = step1(create_train_state(cfg, jax.random.PRNGKey(0)),
                          ra, rb, 1e-4)
-    assert abs(float(m1["loss_G"]) - float(m8["loss_G"])) < 1e-3
-    for a, b in zip(jax.tree.leaves(new1.g_params),
-                    jax.tree.leaves(new8.g_params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    for k in m1:
+        assert abs(float(m1[k]) - float(m8[k])) < 1e-3, k
+    for name, t1, t8, tol in (
+        ("g_params", new1.g_params, new8.g_params, 2e-3),
+        ("d_params", new1.d_params, new8.d_params, 2e-3),
+        ("g_stats", new1.g_stats, new8.g_stats, 1e-3),
+        ("d_stats", new1.d_stats, new8.d_stats, 1e-3),
+        ("buf_a", new1.buf_a, new8.buf_a, 1e-4),
+        ("buf_b", new1.buf_b, new8.buf_b, 1e-4),
+    ):
+        for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=tol, err_msg=name)
 
 
 @pytest.mark.slow

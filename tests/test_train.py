@@ -250,3 +250,53 @@ def test_replay_vectorized_matches_scan():
             np.testing.assert_array_equal(np.asarray(buf_v.data),
                                           np.asarray(buf_s.data))
             assert int(buf_v.size) == int(buf_s.size)
+
+
+# --- eval-BN training compat (reference utils.py:186 + train.py:305) --------
+
+
+@pytest.mark.slow
+def test_eval_bn_compat_freezes_a2b_only(fast_cfg, fast_state, rng):
+    """The a2b_train=False step variant (TrainConfig.eval_bn_compat):
+    netG_A2B's BN running stats stop updating — and its forwards
+    normalize by them — while netG_B2A and both discriminators keep
+    updating theirs, replicating the reference's stuck-in-eval quirk
+    from the second epoch on."""
+    step = build_train_step(fast_cfg, donate=False, a2b_train=False)
+    ra = jnp.asarray(rng.standard_normal((1, 1, 64, 64)), jnp.float32)
+    rb = jnp.asarray(rng.standard_normal((1, 1, 64, 64)), jnp.float32)
+    new, _ = step(fast_state, ra, rb, 1.3e-4)
+
+    # a2b BN stats bit-frozen
+    for a, b in zip(jax.tree.leaves(fast_state.g_stats["a2b"]),
+                    jax.tree.leaves(new.g_stats["a2b"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # b2a and D stats moved
+    for name, old_t, new_t in (
+        ("b2a", fast_state.g_stats["b2a"], new.g_stats["b2a"]),
+        ("da", fast_state.d_stats["da"], new.d_stats["da"]),
+        ("db", fast_state.d_stats["db"], new.d_stats["db"]),
+    ):
+        moved = any(
+            float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 1e-7
+            for a, b in zip(jax.tree.leaves(old_t), jax.tree.leaves(new_t)))
+        assert moved, f"{name} BN stats did not update"
+    # a2b params still train (gradients flow in eval-BN mode)
+    a2b_moved = any(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+        for a, b in zip(jax.tree.leaves(fast_state.g_params["a2b"]),
+                        jax.tree.leaves(new.g_params["a2b"])))
+    assert a2b_moved
+
+
+def test_eval_bn_compat_epoch_gate():
+    """The loop switches to the frozen variant exactly from the second
+    trained epoch (train.py:305 runs eval() after every epoch)."""
+    from ficsr_tpu.train.loop import a2b_train_for_epoch
+
+    cfg = TrainConfig(eval_bn_compat=True, epoch=3)
+    assert a2b_train_for_epoch(cfg, 3) is True   # first trained epoch
+    assert a2b_train_for_epoch(cfg, 4) is False  # after first eval()
+    assert a2b_train_for_epoch(cfg, 10) is False
+    off = TrainConfig(eval_bn_compat=False)
+    assert a2b_train_for_epoch(off, 5) is True
