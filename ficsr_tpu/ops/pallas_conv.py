@@ -16,21 +16,27 @@ instead of 64.
 Operates on NHWC with a zero-padded input (padded once in XLA); the
 `conv3x3_im2col` wrapper takes/returns NCHW to match the model layout.
 
-STATUS: EXPERIMENTAL — correct in interpret mode (parity 3e-6 vs the
-XLA conv) but not yet compilable on this Mosaic version for C=64:
-  1. the 9-way lane concat of shifted slices fails
-     ("result/input offset mismatch on non-concat dimension") — worked
-     around with 9 accumulated dot_generals;
-  2. the halo'd HBM->VMEM DMA then fails twice on alignment: the slab's
-     sublane dim must be 8-aligned (fixed by padding W+2 -> mult of 8)
-     and its lane dim must be 128-aligned ("Slice shape along dimension
-     3 must be aligned to tiling (128), but is 64") — which is exactly
-     the 64-channel case this kernel targets.  Channel-padding to 128
-     doubles the MAC work with zeros (no net win); a full-image block
-     avoids the halo DMA but exceeds VMEM with the fp32 accumulator.
-Conclusion for round 1: the XLA conv (32 TF/s on this shape) stands;
-revisit when Mosaic supports sub-tile lane slicing in DMAs, or via a
-(W+2)*C flattened-lane layout once lane-splitting reshapes land.
+STATUS: EXPERIMENTAL, measured dead end (r4) — correct in interpret
+mode (parity 3e-6 vs the XLA conv) but every TPU formulation loses:
+  1. THIS kernel cannot compile for C=64 (Mosaic: 9-way lane concat
+     fails; halo DMA needs a 128-aligned lane dim) — r1/r3 findings,
+     re-probed each round by benchmarks/mosaic_probes.py P1-P3.
+  2. The packed-128 geometry (channels of columns x,x+1 share one
+     128-lane block) DOES compile — mosaic_probes P4, r4 — but
+     measures 0.83x the XLA conv naive and 0.52-0.54x double-buffered
+     (benchmarks/pallas_conv_v2.py: sublane-offset tap slices cost
+     VPU shifts; the 64-wide dot output half-fills the MXU; the
+     fused 128-wide-output variant exceeds scoped VMEM at 256^2).
+  3. XLA-level im2col loses too: pad-slice-concat patches + one
+     (.,576)x(576,64) matmul = 3.07 ms, conv_general_dilated_patches
+     = 4.49 ms, vs 1.70 ms for XLA's native conv (fwd b8 256^2 bf16).
+Conclusion (after P4/v2a/v2b/XLA-im2col x2/int8/ConvT-subpixel all
+measured): XLA's native conv lowering stands on this shape class; the
+adopted win for the step is the fold-region formulation
+(models/layers.use_fold).  On TPU this function raises — it exists as
+the executable spec of the im2col formulation for interpret-mode
+parity tests; set FICSR_EXPERIMENTAL_PALLAS_CONV=1 to try compiling
+anyway on a newer Mosaic.
 """
 
 from __future__ import annotations
@@ -110,6 +116,14 @@ def conv3x3_im2col(x: jnp.ndarray, w: jnp.ndarray,
     x: (N, C, H, W); w: (Cout, Cin, 3, 3) torch-shaped. H must be a
     multiple of `th`. Returns (N, Cout, H, W).
     """
+    import os
+    if jax.default_backend() == "tpu" and not os.environ.get(
+            "FICSR_EXPERIMENTAL_PALLAS_CONV"):
+        raise NotImplementedError(
+            "conv3x3_im2col cannot compile on this Mosaic for C=64 and "
+            "every compilable variant measured slower than the XLA conv "
+            "(see module docstring / benchmarks/pallas_conv_v2.py). "
+            "Set FICSR_EXPERIMENTAL_PALLAS_CONV=1 to try anyway.")
     n, c, h, ww = x.shape
     cout = w.shape[0]
     xh = jnp.transpose(x, (0, 2, 3, 1))
