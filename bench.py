@@ -130,7 +130,8 @@ def main():
     ap.add_argument("--layout", default="auto",
                     choices=["auto", "NCHW", "NHWC"])
     ap.add_argument("--conv_fold", default="auto",
-                    choices=["auto", "on", "off", "k7", "region"])
+                    choices=["auto", "on", "off", "k7", "region",
+                             "region-shallow"])
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform

@@ -44,11 +44,20 @@ from ficsr_tpu.models.layers import (
 )
 
 
-def _in_fold_region(x: jnp.ndarray) -> bool:
+def _in_fold_region(x: jnp.ndarray, scope: str = "shallow") -> bool:
     """Whether to run the following qualifying chain width-folded
-    (use_fold("region") — persistent-fold MFU optimization, exact same
-    function; see layers.py)."""
-    return (get_fold() == "region" and get_layout() == "NHWC"
+    (persistent-fold MFU optimization, exact same function; see
+    layers.use_fold).
+
+    scope 'shallow' (the ShallowNet / shallow-frequency chains) folds
+    under both 'region' and 'region-shallow'; scope 'resnet' (the
+    ResnetGenerator stem chain) only under the full 'region' mode —
+    'region-shallow' is the r4 hybrid that keeps the resnet body plain
+    where large-batch tiling already fills the MXU."""
+    mode = get_fold()
+    in_region = (mode == "region"
+                 or (mode == "region-shallow" and scope == "shallow"))
+    return (in_region and get_layout() == "NHWC"
             and x.ndim == 4 and x.shape[2] % 2 == 0)
 
 __all__ = [
@@ -101,7 +110,7 @@ class ResnetGenerator(nn.Module):
         # BN/ReLU, and down0 consuming the fold for free (stride-2 fine
         # conv == phase-selected coarse conv).  128-ch inputs (B2A)
         # already fill the MXU lanes — folding would only add FLOPs.
-        fold = self.input_nc <= 64 and _in_fold_region(h)
+        fold = self.input_nc <= 64 and _in_fold_region(h, scope="resnet")
         if fold:
             h = width_fold(h)
         h = Conv2d(self.input_nc, ngf, 7, 1, 0, use_bias=False, name="stem")(h)

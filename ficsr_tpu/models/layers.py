@@ -89,6 +89,13 @@ def use_layout(layout: str):
 
 _FOLD = False
 
+# Persistent-fold-region modes: 'region' folds every qualifying chain
+# (ResnetGenerator 64-ch stem + both ShallowNet chains); 'region-shallow'
+# folds only the ShallowNet chains and leaves the ResnetGenerator plain —
+# the r4 hybrid probed for b>=96 inference where the plain path's
+# batch-tiling already fills the MXU on the resnet body.
+_REGION_MODES = ("region", "region-shallow")
+
 
 def get_fold() -> bool:
     return _FOLD
@@ -287,7 +294,7 @@ class Conv2d(nn.Module):
 
     def _foldable(self, x: jnp.ndarray) -> bool:
         k = self.kernel_size
-        if _FOLD == "region":
+        if _FOLD in _REGION_MODES:
             # region mode: convs never fold on their own — the model
             # folds at region entry and __call__ detects folded input
             return False
@@ -310,7 +317,7 @@ class Conv2d(nn.Module):
             (self.out_channels, self.in_channels, k, k),
         )
         w = w.astype(x.dtype)
-        folded_in = (_FOLD == "region" and _LAYOUT == "NHWC"
+        folded_in = (_FOLD in _REGION_MODES and _LAYOUT == "NHWC"
                      and x.ndim == 4 and x.shape[3] == 2 * self.in_channels)
         if folded_in:
             # persistent fold region: input is width-folded (see
@@ -466,7 +473,7 @@ class BatchNorm2d(nn.Module):
         # (equal counts): mean = (m0+m1)/2, var = (v0+v1)/2 +
         # ((m0-m1)/2)^2 — so a folded chain computes the identical
         # function with no unfold relayout.
-        folded = (_FOLD == "region" and _LAYOUT == "NHWC"
+        folded = (_FOLD in _REGION_MODES and _LAYOUT == "NHWC"
                   and x.ndim == 4 and x.shape[-1] == 2 * C)
 
         def pool_phases(mean, var):

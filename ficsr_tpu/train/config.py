@@ -155,11 +155,11 @@ def resolve_conv_fold(config: "TrainConfig") -> bool:
     if config.conv_fold == "off":
         return False
     if get_layout() != "NHWC":
-        if config.conv_fold in ("on", "k7", "region"):
+        if config.conv_fold in ("on", "k7", "region", "region-shallow"):
             raise ValueError(f"conv_fold={config.conv_fold!r} requires the "
                              "NHWC layout (use --layout NHWC)")
         return False
-    if config.conv_fold in ("on", "k7", "region"):
+    if config.conv_fold in ("on", "k7", "region", "region-shallow"):
         return True if config.conv_fold == "on" else config.conv_fold
     # 'auto' (NHWC active): 'region' on TPU — the persistent-fold-region
     # formulation measured 329.4 vs 465.2 ms on the b16-bf16 step (r3b).
@@ -204,11 +204,11 @@ def resolve_conv_fold_infer(conv_fold: str = "auto",
     if conv_fold == "off":
         return False
     if layout != "NHWC":
-        if conv_fold in ("on", "k7", "region"):
+        if conv_fold in ("on", "k7", "region", "region-shallow"):
             raise ValueError(f"conv_fold={conv_fold!r} requires the "
                              "NHWC layout")
         return False
-    if conv_fold in ("on", "k7", "region"):
+    if conv_fold in ("on", "k7", "region", "region-shallow"):
         return True if conv_fold == "on" else conv_fold
     if (jax.default_backend() == "tpu" and batch is not None
             and _FOLD_INFER_MIN_BATCH <= batch <= _FOLD_INFER_MAX_BATCH):

@@ -394,6 +394,8 @@ def test_resolve_conv_fold_infer_contract():
     # explicit modes under NHWC
     assert resolve_conv_fold_infer("off", layout="NHWC") is False
     assert resolve_conv_fold_infer("region", layout="NHWC") == "region"
+    assert resolve_conv_fold_infer("region-shallow",
+                                   layout="NHWC") == "region-shallow"
     assert resolve_conv_fold_infer("on", layout="NHWC") is True
     # fold formulations require the channels-last layout
     assert resolve_conv_fold_infer("off", layout="NCHW") is False
@@ -428,6 +430,40 @@ def test_sr_infer_fold_region_equivalence(rng):
         y_off = evaluate.make_sr_infer(variables, conv_fold="off")(x)
         y_reg = evaluate.make_sr_infer(variables, conv_fold="region")(x)
         np.testing.assert_allclose(np.asarray(y_reg), np.asarray(y_off),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_region_shallow_hybrid_scope(rng):
+    """'region-shallow' (r4 hybrid): ShallowNet chains fold, the
+    ResnetGenerator stem chain stays plain."""
+    from ficsr_tpu.models.generators import _in_fold_region
+    from ficsr_tpu.models.layers import use_fold
+
+    x = jnp.zeros((2, 8, 8, 64), jnp.float32)
+    with use_layout("NHWC"):
+        with use_fold("region-shallow"):
+            assert _in_fold_region(x, scope="shallow")
+            assert not _in_fold_region(x, scope="resnet")
+        with use_fold("region"):
+            assert _in_fold_region(x, scope="shallow")
+            assert _in_fold_region(x, scope="resnet")
+
+
+def test_sr_infer_fold_region_shallow_equivalence(rng):
+    """The r4 hybrid mode computes outputs identical to 'off' through
+    the full NetworkA2B inference path."""
+    from ficsr_tpu.train import evaluate
+    from ficsr_tpu.train.state import MODELS
+
+    with use_layout("NHWC"):
+        a2b = MODELS["a2b"]
+        x0 = jnp.zeros((1, 1, 32, 32), jnp.float32)
+        variables = a2b.init(jax.random.PRNGKey(0), x0, x0, train=False)
+        x = jnp.asarray(rng.standard_normal((2, 1, 32, 32)), jnp.float32)
+        y_off = evaluate.make_sr_infer(variables, conv_fold="off")(x)
+        y_hyb = evaluate.make_sr_infer(variables,
+                                       conv_fold="region-shallow")(x)
+        np.testing.assert_allclose(np.asarray(y_hyb), np.asarray(y_off),
                                    atol=5e-5, rtol=1e-4)
 
 
