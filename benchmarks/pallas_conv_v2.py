@@ -22,6 +22,7 @@ Output: benchmarks/pallas_conv_v2.json
 import functools
 import json
 import os
+import re
 import sys
 
 import jax
@@ -127,6 +128,17 @@ def main():
             res = json.load(fh)
     res["_versions"] = versions()
 
+    # Runs under a raised scoped-VMEM limit (LIBTPU_INIT_ARGS=
+    # --xla_tpu_scoped_vmem_limit_kib=...) record under prefixed keys so
+    # they never shadow the default-limit results (v2b needs 20-82M vs
+    # the 16M default — the limit is the blocker xla_flags_probe.py
+    # found raisable via the LIBTPU channel).
+    kp = ""
+    m = re.search(r"--xla_tpu_scoped_vmem_limit_kib=(\d+)",
+                  os.environ.get("LIBTPU_INIT_ARGS", ""))
+    if m:
+        kp = f"vmem{int(m.group(1)) // 1024}m."
+
     key = jax.random.PRNGKey(0)
     xs = jax.random.normal(key, (1, 32, 32, 64), jnp.float32)
     w9 = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 64, 64),
@@ -142,11 +154,11 @@ def main():
         try:
             got = conv3x3_pack128_pipelined(xs, w9, th=8, **kwargs)
             err = float(jnp.abs(got - want).max())
-            res[f"{tag}_numeric_err"] = err
+            res[f"{kp}{tag}_numeric_err"] = err
             assert err < 2e-4, err
             print(f"{tag}: numeric OK ({err:.1e})", flush=True)
         except Exception as e:
-            res[f"{tag}_error"] = str(e)[-600:]
+            res[f"{kp}{tag}_error"] = str(e)[-600:]
             print(f"{tag}: FAIL — {str(e)[-300:]}", flush=True)
         save()
 
@@ -158,27 +170,28 @@ def main():
     def xla_fn(x, w, acc):
         return acc + jnp.sum(_xla_conv3x3(x, w).astype(jnp.float32))
 
-    res["xla_ms"] = honest_ms(xla_fn, (x, w9b), 30)
-    print(f"xla: {res['xla_ms']:.3f} ms", flush=True)
+    res[f"{kp}xla_ms"] = honest_ms(xla_fn, (x, w9b), 30)
+    print(f"xla: {res[f'{kp}xla_ms']:.3f} ms", flush=True)
     save()
 
     for tag, kwargs in (("v2a", {}), ("v2b", {"fused_dot": True})):
-        if f"{tag}_error" in res:
+        if f"{kp}{tag}_error" in res:
             continue
         for th in (8, 16, 32):
-            name = f"{tag}_th{th}_ms"
+            name = f"{kp}{tag}_th{th}_ms"
             try:
                 fn = jax.jit(functools.partial(
                     lambda x, w, acc, th=th, kw=kwargs: acc + jnp.sum(
                         conv3x3_pack128_pipelined(x, w, th=th, **kw)
                         .astype(jnp.float32))))
                 res[name] = honest_ms(fn, (x, w9b), 30)
-                res[f"{tag}_th{th}_x"] = round(res["xla_ms"] / res[name], 3)
+                res[f"{kp}{tag}_th{th}_x"] = round(
+                    res[f"{kp}xla_ms"] / res[name], 3)
                 print(f"{name}: {res[name]:.3f} ms "
-                      f"({res[f'{tag}_th{th}_x']}x)", flush=True)
+                      f"({res[f'{kp}{tag}_th{th}_x']}x)", flush=True)
             except Exception as e:
                 res[name] = None
-                res[f"{tag}_th{th}_error"] = str(e)[-400:]
+                res[f"{kp}{tag}_th{th}_error"] = str(e)[-400:]
                 print(f"{name}: FAIL — {str(e)[-200:]}", flush=True)
             save()
     print("wrote", OUT)
