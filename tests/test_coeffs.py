@@ -37,7 +37,8 @@ def test_dec_lo_matches_published(name):
     np.testing.assert_allclose(w.dec_lo, GOLDEN_DEC_LO[name], atol=1e-10)
 
 
-@pytest.mark.parametrize("name", ["haar", "db2", "db4", "db8", "sym4", "sym6"])
+@pytest.mark.parametrize("name", ["haar", "db2", "db4", "db8", "sym4", "sym6",
+                                  "coif1", "coif2", "coif3", "coif4", "coif5"])
 def test_orthogonal_filter_properties(name):
     w = get_wavelet(name)
     h = np.asarray(w.rec_lo)
@@ -69,6 +70,61 @@ def test_biorthogonal_pr_condition(name):
     assert abs(even[center_idx] - 2.0) < 1e-10
     others = np.delete(even, center_idx)
     assert np.max(np.abs(others)) < 1e-10
+
+
+GOLDEN_COIF1_DEC_LO = [-0.0727326195128539, 0.3378976624578092,
+                       0.8525720202122554, 0.3848648468642029,
+                       -0.0727326195128539, -0.0156557281354645]
+
+
+def test_coif1_matches_published():
+    """Published (PyWavelets/Daubechies-table) coif1 digits pin the
+    generator's branch selection externally.  Published coiflet tables
+    carry ~1e-8 precision (they descend from Daubechies' printed
+    tables); our filters are exact roots of the defining system, so the
+    comparison tolerance is the tables', not ours."""
+    w = get_wavelet("coif1")
+    np.testing.assert_allclose(w.dec_lo, GOLDEN_COIF1_DEC_LO, atol=1e-8)
+
+
+@pytest.mark.parametrize("K", [1, 2, 3, 4, 5])
+def test_coiflet_defining_moments(K):
+    """The property that MAKES a coiflet: 2K vanishing wavelet moments
+    AND 2K-1 vanishing scaling-function moments about the center
+    tau = 4K-1.  (db filters have only the wavelet moments — this test
+    fails for dbN, so it pins coiflets specifically.)"""
+    w = get_wavelet(f"coif{K}")
+    h = np.asarray(w.rec_lo)
+    assert len(h) == 6 * K
+    n = np.arange(6 * K, dtype=float)
+    tau = 4 * K - 1
+    scale = np.abs((n - tau) ** (2 * K - 1)).max()
+    for p in range(0, 2 * K):
+        assert abs(np.sum((-1.0) ** n * (n - tau) ** p * h)) < 1e-9 * max(
+            np.abs((n - tau) ** p).max(), 1.0)
+    for p in range(1, 2 * K):
+        assert abs(np.sum((n - tau) ** p * h)) < 1e-9 * max(
+            np.abs((n - tau) ** p).max(), 1.0)
+    del scale
+
+
+@pytest.mark.slow
+def test_coiflet_regeneration():
+    """_coif_gen.generate() reproduces the embedded tables — the
+    committed digits are the (deterministic) solver's own output."""
+    from ficsr_tpu.wavelets._coif_gen import generate
+    from ficsr_tpu.wavelets.coeffs import _COIF_REC_LO
+
+    sols = generate()
+    for K, h in sols.items():
+        np.testing.assert_allclose(h, _COIF_REC_LO[K], atol=1e-11)
+
+
+def test_wavelist_includes_coiflets():
+    from ficsr_tpu.wavelets.coeffs import wavelist
+    names = wavelist()
+    for k in range(1, 6):
+        assert f"coif{k}" in names
 
 
 @pytest.mark.parametrize(
