@@ -19,7 +19,11 @@ import json
 import os
 import time
 
-import jax
+from ficsr_tpu import tpu_tuning
+
+tpu_tuning.apply()  # measured-best libtpu flags; must precede jax import
+
+import jax  # noqa: E402
 
 # persistent compilation cache: TPU compiles through the axon tunnel
 # take minutes; cached executables dispatch in <1 ms

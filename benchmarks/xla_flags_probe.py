@@ -49,13 +49,19 @@ FLAG_SETS = {
     # *client* process, which on axon knows no TPU flags — measured
     # 2026-08-19, every --xla_tpu_* set above dies in
     # parse_flags_from_env.cc client-side)
+    "libtpu_vmem32m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=32768",
     "libtpu_vmem64m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=65536",
+    "libtpu_vmem128m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=131072",
     "libtpu_lhs": "LIBTPU:--xla_tpu_enable_latency_hiding_scheduler=true",
 }
 
 
 def run_bench(extra_flags: str, train: bool) -> dict:
     env = dict(os.environ)
+    # bench.py self-applies the adopted flags (ficsr_tpu/tpu_tuning.py);
+    # disable that so every set here — baseline included — measures
+    # exactly the flags it names
+    env["FICSR_NO_TPU_TUNING"] = "1"
     if extra_flags.startswith("LIBTPU:"):
         env["LIBTPU_INIT_ARGS"] = (env.get("LIBTPU_INIT_ARGS", "") + " "
                                    + extra_flags[len("LIBTPU:"):]).strip()

@@ -16,6 +16,10 @@ import argparse
 import os
 import sys
 
+from ficsr_tpu import tpu_tuning
+
+tpu_tuning.apply()  # measured libtpu flags; before jax import
+
 
 def main():
     p = argparse.ArgumentParser()

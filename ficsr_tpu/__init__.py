@@ -18,4 +18,20 @@ Everything here is designed TPU-first:
 
 __version__ = "0.1.0"
 
-from ficsr_tpu import wavelets, ops, models  # noqa: F401
+# Lazy subpackage access (PEP 562): `ficsr_tpu.tpu_tuning.apply()` must
+# be importable BEFORE jax/libtpu initialize (it sets LIBTPU_INIT_ARGS,
+# read once at plugin init), so the package __init__ must not pull in
+# the jax-importing subpackages eagerly.
+_SUBMODULES = ("wavelets", "ops", "models", "train", "data", "parallel",
+               "convert", "utils", "serving", "tpu_tuning")
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        import importlib
+        return importlib.import_module(f"ficsr_tpu.{name}")
+    raise AttributeError(f"module 'ficsr_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_SUBMODULES))

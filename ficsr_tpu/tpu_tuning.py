@@ -1,0 +1,48 @@
+"""Measured libtpu tuning defaults for the production entry points.
+
+The axon PJRT plugin parses ``XLA_FLAGS`` client-side and rejects every
+``--xla_tpu_*`` knob; the working channel for libtpu compiler flags is
+``LIBTPU_INIT_ARGS`` (benchmarks/xla_flags_probe.py, 2026-08-19).
+
+Measured on the tunneled v5e (benchmarks/xla_flags_probe.json):
+
+  * ``--xla_tpu_scoped_vmem_limit_kib=65536`` (64 MiB scoped-VMEM
+    scratch, up from the default) lets XLA form larger fusions on the
+    b128 bf16 NHWC inference program: 1518.5 vs 1427.2 img/s (+6.4%).
+  * the latency-hiding scheduler is neutral single-chip (1425.9).
+
+``apply()`` must run BEFORE the first jax/backend import in the
+process — libtpu reads the env var once at plugin init.  It is a
+no-op when the user already set a scoped-vmem limit themselves or
+opted out via ``FICSR_NO_TPU_TUNING=1``, so explicit experiments (e.g.
+xla_flags_probe subprocesses) are never overridden.
+"""
+
+import os
+import sys
+
+SCOPED_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+
+
+def apply(train: bool = False) -> bool:
+    """Append the measured-best libtpu flags to LIBTPU_INIT_ARGS.
+
+    Returns True if anything was added.  Call before importing jax.
+    """
+    if os.environ.get("FICSR_NO_TPU_TUNING"):
+        return False
+    # libtpu reads LIBTPU_INIT_ARGS at PJRT plugin init (first backend
+    # use), not at `import jax` — sitecustomize on some hosts imports
+    # jax eagerly, so keying the warning on sys.modules would cry wolf
+    # in every process.  Warn only once a backend actually exists.
+    xb = sys.modules.get("jax._src.xla_bridge")
+    if xb is not None and getattr(xb, "_backends", None):
+        import warnings
+        warnings.warn("ficsr_tpu.tpu_tuning.apply() called after a jax "
+                      "backend initialized; LIBTPU_INIT_ARGS will not "
+                      "take effect")
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "scoped_vmem_limit" in cur:
+        return False  # user already chose a limit
+    os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + SCOPED_VMEM_FLAG).strip()
+    return True

@@ -13,6 +13,10 @@ import argparse
 import os
 import time
 
+from ficsr_tpu import tpu_tuning
+
+tpu_tuning.apply(train=True)  # measured libtpu flags; before jax import
+
 
 def main():
     p = argparse.ArgumentParser()

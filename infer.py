@@ -20,6 +20,10 @@ import sys
 
 import numpy as np
 
+from ficsr_tpu import tpu_tuning
+
+tpu_tuning.apply()  # measured libtpu flags; before jax import
+
 
 def main():
     p = argparse.ArgumentParser()

@@ -9,8 +9,12 @@ the reference's argparse type=bool footgun is intentionally not
 reproduced (see ficsr_tpu/train/config.py).
 """
 
-from ficsr_tpu.train.config import parse_args
-from ficsr_tpu.train.loop import train
+from ficsr_tpu import tpu_tuning
+
+tpu_tuning.apply(train=True)  # measured libtpu flags; before jax import
+
+from ficsr_tpu.train.config import parse_args  # noqa: E402
+from ficsr_tpu.train.loop import train  # noqa: E402
 
 
 def main():
