@@ -87,7 +87,7 @@ def test_coif1_matches_published():
     np.testing.assert_allclose(w.dec_lo, GOLDEN_COIF1_DEC_LO, atol=1e-8)
 
 
-@pytest.mark.parametrize("K", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("K", [1, 2, 3, 4, 5, 8, 12, 17])
 def test_coiflet_defining_moments(K):
     """The property that MAKES a coiflet: 2K vanishing wavelet moments
     AND 2K-1 vanishing scaling-function moments about the center
@@ -115,15 +115,28 @@ def test_coiflet_regeneration():
     from ficsr_tpu.wavelets._coif_gen import generate
     from ficsr_tpu.wavelets.coeffs import _COIF_REC_LO
 
-    sols = generate()
+    sols = generate(17)  # full pywt range
+    assert sorted(sols) == sorted(_COIF_REC_LO) == list(range(1, 18))
     for K, h in sols.items():
         np.testing.assert_allclose(h, _COIF_REC_LO[K], atol=1e-11)
+
+
+@pytest.mark.parametrize("K", [6, 17])
+def test_coiflet_high_order_orthonormality(K):
+    """K>5 has no published table to pin against; orthonormality +
+    the defining moments (above) + continuation from the pinned K<=5
+    branch determine the filter uniquely."""
+    h = np.asarray(get_wavelet(f"coif{K}").rec_lo)
+    L = 6 * K
+    for m in range(3 * K):
+        tgt = 1.0 if m == 0 else 0.0
+        assert abs(np.dot(h[: L - 2 * m], h[2 * m:]) - tgt) < 1e-12
 
 
 def test_wavelist_includes_coiflets():
     from ficsr_tpu.wavelets.coeffs import wavelist
     names = wavelist()
-    for k in range(1, 6):
+    for k in range(1, 18):
         assert f"coif{k}" in names
 
 

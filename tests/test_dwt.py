@@ -222,11 +222,23 @@ def test_jit_and_vmap_compose(rng):
 
 
 @pytest.mark.parametrize("wave", ["sym4", "sym6", "rbio2.2", "bior1.3",
-                                  "db6", "db8"])
+                                  "db6", "db8", "coif2", "coif5"])
 def test_extended_wavelet_families_roundtrip(rng, wave):
     """Wider family coverage: symlets (least-asymmetric factorization),
-    reverse biorthogonal, higher-order Daubechies."""
+    reverse biorthogonal, higher-order Daubechies, coiflets."""
     x = rng.randn(1, 1, 64, 64).astype(np.float32)
     coeffs = wavedec2(jnp.asarray(x), wave, "periodization", level=2)
+    y = waverec2(coeffs, wave, "periodization")
+    np.testing.assert_allclose(np.asarray(y), x, atol=2e-5)
+
+
+@pytest.mark.parametrize("wave", ["coif7", "coif17"])
+def test_high_order_coiflet_roundtrip(rng, wave):
+    """coif6..coif17 (generated, no published table) driven through the
+    2-D DWT engine.  Sizes keep every level's band longer than the
+    filter (102 taps at coif17) — the filter>signal case is rejected by
+    the reference engine too."""
+    x = rng.randn(1, 1, 256, 256).astype(np.float32)
+    coeffs = wavedec2(jnp.asarray(x), wave, "periodization", level=1)
     y = waverec2(coeffs, wave, "periodization")
     np.testing.assert_allclose(np.asarray(y), x, atol=2e-5)
