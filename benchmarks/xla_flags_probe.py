@@ -50,7 +50,10 @@ FLAG_SETS = {
     # 2026-08-19, every --xla_tpu_* set above dies in
     # parse_flags_from_env.cc client-side)
     "libtpu_vmem32m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=32768",
+    "libtpu_vmem48m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=49152",
     "libtpu_vmem64m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=65536",
+    "libtpu_vmem80m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=81920",
+    "libtpu_vmem96m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=98304",
     "libtpu_vmem128m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=131072",
     "libtpu_lhs": "LIBTPU:--xla_tpu_enable_latency_hiding_scheduler=true",
 }

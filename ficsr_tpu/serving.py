@@ -31,7 +31,7 @@ from ficsr_tpu.ops.freq import RADII_A, frequency_split
 from ficsr_tpu.train.state import MODELS
 
 __all__ = ["export_sr", "load_sr", "export_sr_compiled",
-           "load_sr_compiled", "make_infer_fn"]
+           "load_sr_compiled", "make_infer_fn", "make_sharded_infer_fn"]
 
 
 def make_infer_fn(variables: dict, bf16: bool = False,
@@ -61,6 +61,43 @@ def make_infer_fn(variables: dict, bf16: bool = False,
         return out[2].astype(jnp.float32)
 
     return fn
+
+
+def make_sharded_infer_fn(variables: dict, mesh=None, bf16: bool = False,
+                          conv_fold: str = "auto", axis: str = "data"
+                          ) -> Callable:
+    """Multi-chip DP serving: the same computation as `make_infer_fn`,
+    jitted over a 1-D device mesh with the batch sharded on the data
+    axis and weights replicated.  Per-image SR is embarrassingly
+    parallel — XLA inserts zero collectives, so throughput scales
+    linearly with chips over ICI (each chip runs the single-chip
+    headline program on batch/n images).
+
+    The batch must be divisible by the mesh size (the eval chunking in
+    train/evaluate.py pads to the serving batch already; a serving
+    front-end should do the same).  Beyond-reference capability: the
+    reference serves from a single-GPU Python loop
+    (`/root/reference/utils.py:182-214`).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ficsr_tpu.parallel.mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh(axis=axis)
+    fn = make_infer_fn(variables, bf16=bf16, conv_fold=conv_fold)
+    dp = NamedSharding(mesh, P(axis))
+    jfn = jax.jit(fn, in_shardings=dp, out_shardings=dp)
+    n = mesh.devices.size
+
+    def sharded(x):
+        if x.shape[0] % n:
+            raise ValueError(
+                f"batch {x.shape[0]} not divisible by mesh size {n}; "
+                "pad the batch (see train/evaluate.py chunk padding)")
+        return jfn(x)
+
+    return sharded
 
 
 def export_sr(variables: dict, size: int = 256, bf16: bool = False,

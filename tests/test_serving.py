@@ -63,3 +63,30 @@ def test_compiled_executable_roundtrip(tmp_path):
         raise
     ref = np.asarray(make_infer_fn(v)(img))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_sharded_infer_matches_single_device():
+    """DP-sharded serving (make_sharded_infer_fn, 8-device mesh): the
+    batch-sharded program must reproduce the single-device serving
+    output exactly — per-image SR has no cross-batch coupling in
+    eval-BN mode, so sharding the batch is a pure partition."""
+    from ficsr_tpu.parallel.mesh import make_mesh
+    from ficsr_tpu.serving import make_infer_fn, make_sharded_infer_fn
+    from ficsr_tpu.train.state import MODELS
+
+    m = MODELS["a2b"]
+    x0 = jnp.zeros((1, 1, 64, 64), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x0, x0, train=False)
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_infer_fn(v, mesh)
+    single = jax.jit(make_infer_fn(v))
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (16, 1, 64, 64))
+    got = np.asarray(sharded(x))
+    ref = np.asarray(single(x))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    import pytest
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded(x[:3])
