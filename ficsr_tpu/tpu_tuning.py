@@ -28,6 +28,10 @@ def apply(train: bool = False) -> bool:
     """Append the measured-best libtpu flags to LIBTPU_INIT_ARGS.
 
     Returns True if anything was added.  Call before importing jax.
+    ``train`` is the seam for diverging the flag sets per program if a
+    future probe finds a flag that wins one headline and loses the
+    other; today's adopted set (64 MiB scoped-VMEM) measured +6.4% on
+    inference and neutral on the train step, so both paths get it.
     """
     if os.environ.get("FICSR_NO_TPU_TUNING"):
         return False
