@@ -154,3 +154,64 @@ def test_wavelist_includes_coiflets():
 )
 def test_dwt_coeff_len(n, l, mode, expect):
     assert dwt_coeff_len(n, l, mode) == expect
+
+
+# --- discrete Meyer (dmey) -------------------------------------------------
+# Generated closed-form (coeffs.meyer_scaling_filter): no digit table
+# exists to pin against (pywt is not in this image and the reference
+# carries no dmey digits), so the tests pin the DEFINING properties —
+# the Meyer frequency mask, symmetry, and the canonical 62-tap
+# approximate orthogonality.
+
+def test_dmey_defining_properties():
+    w = get_wavelet("dmey")
+    h = np.asarray(w.rec_lo)
+    assert len(h) == 62
+    # whole-sample symmetric about tap 31 (linear phase)
+    assert max(abs(h[31 + i] - h[31 - i]) for i in range(1, 31)) < 1e-14
+    assert abs(h.sum() - np.sqrt(2)) < 1e-12
+    # approximately orthogonal: the truncation residual of the ideal
+    # (infinitely supported) Meyer taps — every published dmey table
+    # shares this defect at a similar magnitude
+    for k in range(0, 16):
+        v = sum(h[n] * h[n - 2 * k] for n in range(2 * k, 62))
+        assert abs(v - (1.0 if k == 0 else 0.0)) < 2e-5, k
+
+
+def test_dmey_matches_meyer_mask():
+    """|H(w)| equals the closed-form Meyer mask m0(w) = sqrt2*phi_hat(2w)
+    up to 62-tap truncation error, including the flat passband, the
+    nu-polynomial transition band, and the vanishing stopband."""
+    h = np.asarray(get_wavelet("dmey").rec_lo)
+    n = np.arange(62) - 31
+    for wv in np.linspace(0.0, np.pi, 41):
+        H = abs(np.sum(h * np.exp(-1j * wv * n)))
+        aw = 2.0 * wv
+        x = np.clip(3.0 * aw / (2 * np.pi) - 1.0, 0.0, 1.0)
+        nu = x ** 4 * (35 - 84 * x + 70 * x ** 2 - 20 * x ** 3)
+        if aw <= 2 * np.pi / 3:
+            m0 = np.sqrt(2.0)
+        elif aw <= 4 * np.pi / 3:
+            m0 = np.sqrt(2.0) * np.cos(0.5 * np.pi * nu)
+        else:
+            m0 = 0.0
+        assert abs(H - m0) < 1e-4, wv
+
+
+def test_dmey_dwt_roundtrip():
+    """2-D DWT -> IDWT with dmey reconstructs to the approximate-
+    orthogonality floor (the same roundtrip every dmey user gets)."""
+    import jax
+    from ficsr_tpu.wavelets import DWTForward, DWTInverse
+
+    x = np.random.RandomState(3).randn(1, 1, 64, 64).astype(np.float32)
+    fwd = DWTForward(J=1, wave="dmey", mode="symmetric")
+    inv = DWTInverse(wave="dmey", mode="symmetric")
+    yl, yh = fwd(jax.numpy.asarray(x))
+    rec = np.asarray(inv((yl, yh)))[..., :64, :64]
+    assert np.max(np.abs(rec - x)) < 5e-4
+
+
+def test_wavelist_includes_dmey():
+    from ficsr_tpu.wavelets.coeffs import wavelist
+    assert "dmey" in wavelist()
