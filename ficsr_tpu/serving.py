@@ -73,9 +73,11 @@ def make_sharded_infer_fn(variables: dict, mesh=None, bf16: bool = False,
     linearly with chips over ICI (each chip runs the single-chip
     headline program on batch/n images).
 
-    The batch must be divisible by the mesh size (the eval chunking in
-    train/evaluate.py pads to the serving batch already; a serving
-    front-end should do the same).  Beyond-reference capability: the
+    The batch must be divisible by the mesh size unless ``pad=True``,
+    which edge-replicates the batch up to the next multiple and slices
+    the padded rows back off (exact: eval-BN SR is per-image, so pad
+    rows cannot leak into real outputs — the same trick as the eval
+    chunking in train/evaluate.py).  Beyond-reference capability: the
     reference serves from a single-GPU Python loop
     (`/root/reference/utils.py:182-214`).
     """
@@ -90,11 +92,17 @@ def make_sharded_infer_fn(variables: dict, mesh=None, bf16: bool = False,
     jfn = jax.jit(fn, in_shardings=dp, out_shardings=dp)
     n = mesh.devices.size
 
-    def sharded(x):
-        if x.shape[0] % n:
-            raise ValueError(
-                f"batch {x.shape[0]} not divisible by mesh size {n}; "
-                "pad the batch (see train/evaluate.py chunk padding)")
+    def sharded(x, pad: bool = False):
+        b = x.shape[0]
+        if b % n:
+            if not pad:
+                raise ValueError(
+                    f"batch {b} not divisible by mesh size {n}; pass "
+                    "pad=True or pad the batch yourself")
+            extra = -b % n
+            x = jnp.concatenate(
+                [x, jnp.repeat(x[-1:], extra, axis=0)], axis=0)
+            return jfn(x)[:b]
         return jfn(x)
 
     return sharded
@@ -122,13 +130,16 @@ def export_sr(variables: dict, size: int = 256, bf16: bool = False,
 def load_sr(path_or_bytes) -> Callable:
     """Load a serialized artifact; returns `f(x: (N,1,H,W) float32)`.
 
-    NOTE (measured, r3): on the tunneled axon TPU runtime the spliced
-    `call_module` this produces executes ~400x slower than the natively
-    jitted function (b1: 225-810 ms across runs vs 2.1 ms — benchmarks/serving_latency
-    .json); on CPU and standard TPU runtimes it compiles into the outer
-    program normally.  For same-platform production serving use the
-    AOT-compiled artifact below, which preserves the fully optimized
-    executable.
+    NOTE (measured, r3; bisected r4): on the tunneled axon TPU runtime
+    the spliced `call_module` this produces executes ~400x slower than
+    the natively jitted function (b1: 225-810 ms across runs vs 2.1 ms
+    — benchmarks/serving_latency.json).  benchmarks/stablehlo_probe.py
+    pins it on call_module splicing generally — a deserialized
+    Exported runs ~11x slow even for a 2-matmul concrete-shape repro,
+    symbolic batch dims are NOT the cause.  On CPU and standard TPU
+    runtimes it compiles into the outer program normally.  For
+    same-platform production serving use the AOT-compiled artifact
+    below, which preserves the fully optimized executable.
     """
     blob = path_or_bytes
     if isinstance(blob, str):
