@@ -90,3 +90,9 @@ def test_sharded_infer_matches_single_device():
     import pytest
     with pytest.raises(ValueError, match="not divisible"):
         sharded(x[:3])
+
+    # pad=True: edge-replicate to the next multiple, slice back — the
+    # real rows must match the unpadded single-device output exactly
+    got3 = np.asarray(sharded(x[:3], pad=True))
+    assert got3.shape[0] == 3
+    np.testing.assert_allclose(got3, ref[:3], rtol=2e-5, atol=2e-5)
