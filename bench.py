@@ -95,6 +95,35 @@ def measure(batch: int, iters: int = 20, dtype=jnp.float32,
     return batch * iters / dt
 
 
+def matmul_canary(n: int = 4096, iters: int = 20) -> float:
+    """Chip-speed canary: bf16 n^3 matmul TFLOP/s with honest chained
+    sync.  Reported alongside every headline number so day-to-day host/
+    tunnel/chip drift is self-describing: if the canary moves with the
+    headline (same ratio), the chip or runtime is slower that day; if
+    only the headline moves, it is a real program change.  (Motivating
+    case: 2026-08-19 infer points read 1427-1519 img/s, 2026-08-20 the
+    identical program read 1364-1371 — a ~10% day-level shift that a
+    flag A/B would otherwise misattribute.)"""
+    a = jax.random.normal(jax.random.PRNGKey(3), (n, n), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(4), (n, n), jnp.bfloat16)
+
+    @jax.jit
+    def mm(x, acc):
+        y = x @ b
+        return y, acc + jnp.float32(y[0, 0])
+
+    acc = jnp.zeros((), jnp.float32)
+    x, acc = mm(a, acc)
+    float(acc)  # compile + sync
+    acc = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x, acc = mm(x, acc)
+    float(acc)
+    dt = time.perf_counter() - t0
+    return 2.0 * n**3 * iters / dt / 1e12
+
+
 def measure_train(batch: int = 1, iters: int = 20, bf16: bool = False,
                   layout: str = "auto", conv_fold: str = "auto") -> float:
     """Train steps/sec with honest chained sync (state chains step to
@@ -139,6 +168,7 @@ def main():
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
+    canary = (round(matmul_canary(), 1) if platform == "tpu" else None)
     if args.train:
         tb, bf16 = args.batch, args.bf16
         sps = measure_train(batch=tb, bf16=bf16, layout=args.layout,
@@ -162,6 +192,7 @@ def main():
             "ms_per_step": round(1e3 / sps, 1),
             "vs_baseline": round(vs, 1) if vs is not None else None,
             "platform": platform,
+            "chip_canary_tflops": canary,
         }))
         return
     # one compile only: TPU compiles through the axon tunnel cost ~90 s
@@ -183,7 +214,14 @@ def main():
             ips = measure(b, iters=5 if platform == "cpu" else 50,
                           dtype=dtype, layout=args.layout,
                           conv_fold=args.conv_fold)
-        except Exception:
+        except Exception as e:
+            # keep sweeping smaller batches on OOM, but never silently:
+            # a swallowed failure here once wrote a value=0.0 row into
+            # xla_flags_probe.json that looked like a real measurement
+            import sys
+            import traceback
+            print(f"# measure(batch={b}) failed: {e!r}", file=sys.stderr)
+            traceback.print_exc()
             break
         if ips > best:
             best, best_b = ips, b
@@ -204,6 +242,7 @@ def main():
         "best_batch": best_b,
         "dtype": dt_name,
         "platform": platform,
+        "chip_canary_tflops": canary,
     }))
 
 
