@@ -109,7 +109,12 @@ def matmul_canary(n: int = 4096, iters: int = 20) -> float:
 
     @jax.jit
     def mm(x, acc):
-        y = x @ b
+        # rescale by 1/sqrt(n): N(0,1) inputs make each product element
+        # ~N(0, n), so an unscaled chain overflows bf16 to inf within a
+        # few iterations — TPU matmul timing is data-independent, but
+        # keep the accumulator finite so other backends never hit
+        # inf/NaN slow paths (ADVICE r4)
+        y = (x @ b) * jnp.bfloat16(1.0 / 64.0)
         return y, acc + jnp.float32(y[0, 0])
 
     acc = jnp.zeros((), jnp.float32)
@@ -165,10 +170,20 @@ def main():
     ap.add_argument("--conv_fold", default="auto",
                     choices=["auto", "on", "off", "k7", "region",
                              "region-shallow"])
+    ap.add_argument("--no-canary", action="store_true",
+                    help="skip the chip-speed canary matmul (one fewer "
+                         "compile; use when the canary is measured "
+                         "elsewhere in the same session)")
+    ap.add_argument("--no-train-field", action="store_true",
+                    help="headline run only: skip the b16-bf16 train-step "
+                         "measurement folded into the inference JSON "
+                         "(saves its ~5 min tunnel compile; used by "
+                         "xla_flags_probe's infer-kind subprocesses)")
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
-    canary = (round(matmul_canary(), 1) if platform == "tpu" else None)
+    canary = (round(matmul_canary(), 1)
+              if platform == "tpu" and not args.no_canary else None)
     if args.train:
         tb, bf16 = args.batch, args.bf16
         sps = measure_train(batch=tb, bf16=bf16, layout=args.layout,
@@ -234,7 +249,7 @@ def main():
             ref = json.load(f)["torch_cpu_images_per_sec"]
         vs = best / ref
 
-    print(json.dumps({
+    out = {
         "metric": "octa_sr_inference_256px",
         "value": round(best, 2),
         "unit": "images/sec/chip",
@@ -243,7 +258,32 @@ def main():
         "dtype": dt_name,
         "platform": platform,
         "chip_canary_tflops": canary,
-    }))
+    }
+    # BASELINE.json's metric is "images/sec/chip (infer) + train
+    # steps/sec": fold the b16-bf16 train-step measurement into the same
+    # single JSON line so every round's BENCH_r*.json records both
+    # headlines (VERDICT r4 #6).  TPU only — the CPU path exists for
+    # smoke runs and the train compile there costs more than it informs.
+    if platform == "tpu" and not args.no_train_field:
+        try:
+            sps = measure_train(batch=16, bf16=True, layout=args.layout,
+                                conv_fold=args.conv_fold)
+            out["train_metric"] = "octa_cyclegan_train_256px_b16_bf16"
+            out["train_steps_per_sec"] = round(sps, 3)
+            out["train_ms_per_step"] = round(1e3 / sps, 1)
+            tb_path = os.path.join(os.path.dirname(__file__), "benchmarks",
+                                   "baseline_cpu_train.json")
+            if os.path.isfile(tb_path):
+                with open(tb_path) as f:
+                    ref_sps = json.load(f)["torch_cpu_train_steps_per_sec"]
+                out["train_vs_baseline"] = round(sps * 16 / ref_sps, 1)
+        except Exception as e:  # never lose the inference headline
+            import sys
+            import traceback
+            print(f"# measure_train failed: {e!r}", file=sys.stderr)
+            traceback.print_exc()
+            out["train_error"] = repr(e)[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -78,6 +78,11 @@ def run_bench(extra_flags: str, train: bool) -> dict:
     cmd = [sys.executable, os.path.join(ROOT, "bench.py")]
     if train:
         cmd += ["--train", "--batch", "16", "--bf16"]
+    else:
+        # the headline bench now folds a train-step measurement into the
+        # default run; each probe subprocess recompiles, so skip it here
+        # (the train kind measures it separately)
+        cmd += ["--no-train-field"]
     try:
         p = subprocess.run(cmd, env=env, cwd=ROOT, capture_output=True,
                            text=True, timeout=1800)
@@ -87,7 +92,23 @@ def run_bench(extra_flags: str, train: bool) -> dict:
     if p.returncode != 0 or not line:
         return {"error": (p.stderr.strip().splitlines() or ["no output"])
                 [-1][:300]}
-    return json.loads(line[-1])
+    r = json.loads(line[-1])
+    if not r.get("value"):
+        # a value of 0.0 means every batch errored inside bench.py — a
+        # failed run, never a measurement.  One such row was committed as
+        # baseline.infer in r4 and corrupted the comparison (ADVICE r4).
+        return {"error": "bench returned value=0.0 (all batches failed); "
+                         "refusing to record as a measurement",
+                "stderr_tail": p.stderr.strip().splitlines()[-1][:300]
+                if p.stderr.strip() else ""}
+    # canary-normalized throughput: value ÷ chip-canary TFLOP/s measured
+    # in the SAME subprocess under the SAME flags.  Day-level chip/tunnel
+    # drift (~10%, see bench.matmul_canary docstring) moves both numbers
+    # together, so this ratio is the cross-day-comparable signal the raw
+    # img/s is not (VERDICT r4 weak #2).
+    if r.get("chip_canary_tflops"):
+        r["per_canary"] = round(r["value"] / r["chip_canary_tflops"], 3)
+    return r
 
 
 def main():

@@ -79,6 +79,14 @@ class TrainConfig:
     test_path: str = "./dataset/evalution_6mm/parts"
     seed: int = 0
     log_every: int = 50
+    # when set, the train loop appends one JSON line per step to this
+    # path: {"step", "epoch", "t" (monotonic seconds), all loss terms,
+    # and per-epoch device-memory high-water when the backend exposes
+    # it}.  Fetching metrics every step syncs the host to the device
+    # (it forfeits a little dispatch/execute overlap), so this is an
+    # observability opt-in — used by benchmarks/soak.py for the
+    # long-run health record (VERDICT r5 #1).
+    metrics_jsonl: str = ""
     replay_buffer_size: int = 50
     # replay-buffer sharding under data parallelism.  1 (default) = the
     # reference's single global 50-slot history, kept replicated — XLA

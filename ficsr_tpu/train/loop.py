@@ -132,10 +132,24 @@ def train(config: TrainConfig, state: Optional[TrainState] = None,
     return state
 
 
+def _memory_hiwater_mb() -> Optional[float]:
+    """Device HBM high-water in MiB, when the backend exposes it
+    (memory_stats is optional in PJRT; axon/CPU may return None)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+    return round(peak / 2**20, 1) if peak else None
+
+
 def _train_epochs(config, state, make_step, put, dataset, test_dataset, rng,
                   ckpt_writer, max_steps):
     total_steps = 0
     steps = {}  # a2b_train -> compiled step variant (at most two)
+    mlog = open(config.metrics_jsonl, "a") if config.metrics_jsonl else None
     for epoch in range(config.epoch, config.n_epochs):
         a2b_train = a2b_train_for_epoch(config, epoch)
         if a2b_train not in steps:
@@ -180,6 +194,15 @@ def _train_epochs(config, state, make_step, put, dataset, test_dataset, rng,
             seen += config.batchSize
             total_steps += 1
 
+            if mlog is not None:
+                import json
+                rec = {k: float(v)
+                       for k, v in jax.device_get(metrics).items()}
+                rec.update(step=total_steps, epoch=epoch,
+                           t=round(time.perf_counter(), 4))
+                mlog.write(json.dumps(rec) + "\n")
+                mlog.flush()
+
             if i == 1:
                 # fetch only this host's first shard: a batch-sharded
                 # global array spans non-addressable devices on a pod,
@@ -206,6 +229,14 @@ def _train_epochs(config, state, make_step, put, dataset, test_dataset, rng,
         dt = time.time() - t0
         print("Epoch (%d/%d) Finished — %.2f img/s" % (
             epoch + 1, config.n_epochs, seen / max(dt, 1e-9)))
+        if mlog is not None:
+            import json
+            mlog.write(json.dumps({
+                "epoch_summary": epoch, "img_per_sec":
+                round(seen / max(dt, 1e-9), 2),
+                "hbm_hiwater_mb": _memory_hiwater_mb(),
+                "t": round(time.perf_counter(), 4)}) + "\n")
+            mlog.flush()
 
         # checkpoint cadence (train.py:290-300)
         if config.pretrained:
@@ -229,4 +260,6 @@ def _train_epochs(config, state, make_step, put, dataset, test_dataset, rng,
         if max_steps is not None and total_steps >= max_steps:
             break
 
+    if mlog is not None:
+        mlog.close()
     return state
