@@ -170,6 +170,10 @@ def main():
     ap.add_argument("--conv_fold", default="auto",
                     choices=["auto", "on", "off", "k7", "region",
                              "region-shallow"])
+    ap.add_argument("--canary-only", action="store_true",
+                    help="print just the chip-speed canary JSON (one "
+                         "small compile) — cheap chip/tunnel drift "
+                         "timestamp around long runs")
     ap.add_argument("--no-canary", action="store_true",
                     help="skip the chip-speed canary matmul (one fewer "
                          "compile; use when the canary is measured "
@@ -182,6 +186,13 @@ def main():
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
+    if args.canary_only:
+        import datetime
+        print(json.dumps({
+            "metric": "chip_canary", "value": round(matmul_canary(), 1),
+            "unit": "bf16_tflops", "platform": platform,
+            "time": datetime.datetime.now().isoformat(timespec="seconds")}))
+        return
     canary = (round(matmul_canary(), 1)
               if platform == "tpu" and not args.no_canary else None)
     if args.train:

@@ -84,8 +84,10 @@ def run_bench(extra_flags: str, train: bool) -> dict:
         # (the train kind measures it separately)
         cmd += ["--no-train-field"]
     try:
+        # 45 min: tunnel compiles measured 10-15+ min on slow days
+        # (2026-08-20), and an infer run is canary + infer = 2 compiles
         p = subprocess.run(cmd, env=env, cwd=ROOT, capture_output=True,
-                           text=True, timeout=1800)
+                           text=True, timeout=2700)
     except subprocess.TimeoutExpired:
         return {"error": "timeout"}
     line = [l for l in p.stdout.splitlines() if l.startswith("{")]
