@@ -177,13 +177,33 @@ def main():
     ap.add_argument("--out", default=os.path.join(ROOT, ".soak_out"))
     ap.add_argument("--n-train", type=int, default=800)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--metrics",
-                    default=os.path.join(ROOT, "logs",
-                                         "soak_r05_metrics.jsonl"))
-    ap.add_argument("--summary",
-                    default=os.path.join(ROOT, "benchmarks",
-                                         "soak_r05.json"))
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--summary", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint under <out>/ckpt "
+                         "and continue for --steps more steps — the TPU "
+                         "restore demo: full state (both G, both D, both "
+                         "opts, replay buffers, RNG) round-trips through "
+                         "Orbax back into the live production driver")
+    ap.add_argument("--plan-steps", type=int, default=None,
+                    help="total steps the LR schedule is planned over "
+                         "(default: --steps).  For an interrupt/resume "
+                         "pair, pass the SAME --plan-steps to both legs "
+                         "so the resumed run continues the identical "
+                         "linear-decay schedule.  Measured consequence "
+                         "of NOT doing this (benchmarks/soak_r05_"
+                         "diverged.json): re-planning the schedule at "
+                         "resume jumped lr 2.6x on the converged GAN "
+                         "and the D pair diverged to ~5e4 losses within "
+                         "an epoch while cycle/identity stayed anchored "
+                         "— schedule continuity, not just state "
+                         "continuity, is part of correct resume.")
     args = ap.parse_args()
+    tag = "soak_r05_resume" if args.resume else "soak_r05"
+    if args.metrics is None:
+        args.metrics = os.path.join(ROOT, "logs", tag + "_metrics.jsonl")
+    if args.summary is None:
+        args.summary = os.path.join(ROOT, "benchmarks", tag + ".json")
 
     if not os.path.isdir(os.path.join(args.data, "trainA")):
         make_dataset(args.data, n_train=args.n_train)
@@ -203,9 +223,32 @@ def main():
     from ficsr_tpu.train.state import create_train_state
 
     steps_per_epoch = args.n_train // args.batch
-    n_epochs = (args.steps + steps_per_epoch - 1) // steps_per_epoch
+    plan = args.plan_steps or args.steps
+    plan_epochs = (plan + steps_per_epoch - 1) // steps_per_epoch
+    epoch0 = 0
+    if args.resume:
+        from ficsr_tpu.train.checkpoint import latest_step
+        last = latest_step(os.path.join(args.out, "ckpt"))
+        if last is None:
+            raise SystemExit(f"--resume: no checkpoint under "
+                             f"{os.path.join(args.out, 'ckpt')}")
+        # checkpoints are labeled epoch+1 (the reference's 1-based file
+        # names, train.py:290-300), so `last` IS the next epoch index
+        epoch0 = last
+        if epoch0 >= plan_epochs:
+            # measured consequence of silently extending instead
+            # (soak_r05_resume2.json): the recomputed decay re-raised lr
+            # from ~0 to 8.7e-5 on the fully-converged GAN and the D
+            # pair hit ~100 MSE within 10 steps
+            raise SystemExit(
+                f"--resume: checkpoint epoch {epoch0} is already past "
+                f"the planned schedule ({plan_epochs} epochs); pass a "
+                f"longer --plan-steps to extend the schedule explicitly")
+        print(f"# resuming at epoch {epoch0} "
+              f"(checkpoint label {last})", flush=True)
+    n_epochs = plan_epochs  # the plan IS the schedule, resumed or not
     cfg = TrainConfig(
-        batchSize=args.batch, bf16=True, n_epochs=n_epochs,
+        batchSize=args.batch, bf16=True, epoch=epoch0, n_epochs=n_epochs,
         decay_epoch=max(1, n_epochs // 2), scheduler=True,
         dataroot=args.data, test_path=os.path.join(args.data, "eval"),
         output_dir=os.path.join(args.out, "ckpt"),
@@ -213,19 +256,27 @@ def main():
         metrics_jsonl=args.metrics, log_every=10, seed=0)
     print(cfg, flush=True)
 
-    # eval BEFORE training (fresh init) for the learning-direction check
+    # eval BEFORE training — fresh init (learning-direction check), or
+    # the restored state (restore-continuity check: should match the
+    # prior run's final eval, not a fresh init's)
     apply_layout(cfg)
     state0 = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
+    if args.resume:
+        from ficsr_tpu.train.checkpoint import restore_checkpoint
+        state0 = restore_checkpoint(cfg.output_dir, state0)
     eval_ds = ImageDataset6mm(cfg.test_path)
     infer0 = evaluate.make_sr_infer(
         {"params": state0.g_params["a2b"],
          "batch_stats": state0.g_stats["a2b"]}, bf16=True)
     before = evaluate.eval_6m(infer0, eval_ds, verbose=False)
     print("# eval(init):", json.dumps(before), flush=True)
-    del state0, infer0
+    start_state = state0 if args.resume else None
+    del infer0
+    if not args.resume:
+        del state0  # free HBM; train() re-creates the identical init
 
     t0 = time.time()
-    state = train(cfg, max_steps=args.steps)
+    state = train(cfg, state=start_state, max_steps=args.steps)
     wall = time.time() - t0
 
     infer = evaluate.make_sr_infer(

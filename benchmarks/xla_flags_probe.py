@@ -51,7 +51,9 @@ FLAG_SETS = {
     # parse_flags_from_env.cc client-side)
     "libtpu_vmem32m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=32768",
     "libtpu_vmem48m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=49152",
+    "libtpu_vmem56m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=57344",
     "libtpu_vmem64m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=65536",
+    "libtpu_vmem72m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=73728",
     "libtpu_vmem80m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=81920",
     "libtpu_vmem96m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=98304",
     "libtpu_vmem128m": "LIBTPU:--xla_tpu_scoped_vmem_limit_kib=131072",

@@ -6,9 +6,15 @@ The axon PJRT plugin parses ``XLA_FLAGS`` client-side and rejects every
 
 Measured on the tunneled v5e (benchmarks/xla_flags_probe.json):
 
-  * ``--xla_tpu_scoped_vmem_limit_kib=65536`` (64 MiB scoped-VMEM
+  * ``--xla_tpu_scoped_vmem_limit_kib=73728`` (72 MiB scoped-VMEM
     scratch, up from the default) lets XLA form larger fusions on the
-    b128 bf16 NHWC inference program: 1518.5 vs 1427.2 img/s (+6.4%).
+    b128 bf16 NHWC inference program: 1525.6-1527.0 vs 1427.9 img/s
+    baseline (+6.9%), beating the r4 64-MiB adoption (1520.1-1520.2)
+    in a same-session A/B on two separate days; train step 330.1
+    ms/step (neutral-or-better vs 64's 340.7-under-load / 329.4
+    quiet).  The full probed curve (r5, canary-stamped) is strongly
+    non-monotone — 48/80/96 MiB each LOSE ~4% — so this value must
+    not be "rounded" to a neighbor.
   * the latency-hiding scheduler is neutral single-chip (1425.9).
 
 ``apply()`` must run BEFORE the first jax/backend import in the
@@ -21,7 +27,7 @@ xla_flags_probe subprocesses) are never overridden.
 import os
 import sys
 
-SCOPED_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
+SCOPED_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=73728"
 
 
 def apply(train: bool = False) -> bool:
@@ -30,8 +36,9 @@ def apply(train: bool = False) -> bool:
     Returns True if anything was added.  Call before importing jax.
     ``train`` is the seam for diverging the flag sets per program if a
     future probe finds a flag that wins one headline and loses the
-    other; today's adopted set (64 MiB scoped-VMEM) measured +6.4% on
-    inference and neutral on the train step, so both paths get it.
+    other; today's adopted set (72 MiB scoped-VMEM) measured +6.9% on
+    inference and neutral-or-better on the train step, so both paths
+    get it.
     """
     if os.environ.get("FICSR_NO_TPU_TUNING"):
         return False

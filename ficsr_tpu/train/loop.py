@@ -27,7 +27,7 @@ from ficsr_tpu.train.schedule import (
 from ficsr_tpu.train.state import TrainState, create_train_state
 from ficsr_tpu.train.step import build_train_step
 
-__all__ = ["train", "save_sample", "a2b_train_for_epoch"]
+__all__ = ["train", "save_sample", "a2b_train_for_epoch", "lr_for_epoch"]
 
 
 def a2b_train_for_epoch(config: TrainConfig, epoch: int) -> bool:
@@ -145,6 +145,33 @@ def _memory_hiwater_mb() -> Optional[float]:
     return round(peak / 2**20, 1) if peak else None
 
 
+def lr_for_epoch(config, epoch):
+    """LR fed into the jitted step for ABSOLUTE epoch index `epoch`.
+
+    offset=0 in the linear branch, deliberately: the reference passes
+    ``offset=opt.epoch`` to LambdaLR (train.py:105-108) because torch
+    schedulers count their own steps from 0 in every process, so a
+    resumed process must add the start epoch back.  This loop iterates
+    absolute epochs (``range(config.epoch, n_epochs)``), so adding the
+    offset again double-counts a resumed start epoch.  Measured
+    consequence of the double-count (r5 TPU soak, benchmarks/
+    soak_r05_resume.json before the fix): a run resumed at epoch 6 of a
+    12-epoch decay-from-6 plan trained its first epoch at lr=0 (only BN
+    stats moved) and every later epoch at NEGATIVE lr — gradient ascent
+    — and both resumed soaks blew up at the first epoch transition
+    (step ~54) while uninterrupted runs of the same plan were stable.
+    """
+    if config.scheduler:
+        scale = lambda_linear_decay(
+            epoch, config.n_epochs, 0, config.decay_epoch)
+        assert scale >= 0.0, (epoch, config.n_epochs, config.decay_epoch)
+        return config.lr * scale
+    if config.cosine_bug_compat:
+        sg, sd = cosine_bug_multipliers(epoch, config.n_epochs)
+        return (config.lr * sg, config.lr * sd)
+    return config.lr * cosine_annealing(epoch, config.n_epochs)
+
+
 def _train_epochs(config, state, make_step, put, dataset, test_dataset, rng,
                   ckpt_writer, max_steps):
     total_steps = 0
@@ -155,16 +182,7 @@ def _train_epochs(config, state, make_step, put, dataset, test_dataset, rng,
         if a2b_train not in steps:
             steps[a2b_train] = make_step(a2b_train)
         step_fn = steps[a2b_train]
-        if config.scheduler:
-            scale = lambda_linear_decay(
-                epoch, config.n_epochs, config.epoch, config.decay_epoch)
-            lr = config.lr * scale
-        elif config.cosine_bug_compat:
-            sg, sd = cosine_bug_multipliers(epoch, config.n_epochs)
-            lr = (config.lr * sg, config.lr * sd)
-        else:
-            scale = cosine_annealing(epoch, config.n_epochs)
-            lr = config.lr * scale
+        lr = lr_for_epoch(config, epoch)
 
         real_out = fake_out = None
         t0, seen = time.time(), 0

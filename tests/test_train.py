@@ -71,6 +71,37 @@ def test_linear_decay_schedule():
     assert lambda_linear_decay(50, 50, 0, 10) == 0.0
 
 
+def test_resumed_lr_schedule_continuity():
+    """Regression for the r5 resume-divergence bug: the loop iterates
+    ABSOLUTE epochs but also passed offset=config.epoch into
+    lambda_linear_decay, double-counting a resumed start epoch.  A run
+    resumed at epoch 6 of a 12-epoch decay-from-6 plan then trained its
+    first epoch at lr=0 and every later epoch at NEGATIVE lr (gradient
+    ascent) — both 300+300 TPU soaks diverged at the first epoch
+    transition, step ~54, while uninterrupted runs of the identical
+    plan were stable (benchmarks/soak_r05_resume.json pre-fix).
+    A resumed process must see the exact LR an uninterrupted run sees
+    at the same absolute epoch, and never a negative one."""
+    from ficsr_tpu.train.config import TrainConfig
+    from ficsr_tpu.train.loop import lr_for_epoch
+
+    plan = dict(n_epochs=12, decay_epoch=6, lr=1.3e-4)
+    fresh = TrainConfig(scheduler=True, **plan)
+    resumed = TrainConfig(scheduler=True, epoch=6, **plan)
+    for e in range(6, 12):
+        assert lr_for_epoch(resumed, e) == lr_for_epoch(fresh, e), e
+        assert lr_for_epoch(resumed, e) > 0.0, e
+    # pre-fix values for the record: epoch 6 -> 0.0, epoch 7 -> -lr/6
+    assert lr_for_epoch(resumed, 7) == pytest.approx(1.3e-4 * 5 / 6)
+    # the cosine paths take absolute epochs directly and must agree too
+    for kw in (dict(scheduler=False),
+               dict(scheduler=False, cosine_bug_compat=True)):
+        f = TrainConfig(**plan, **kw)
+        r = TrainConfig(epoch=6, **plan, **kw)
+        for e in range(6, 12):
+            assert lr_for_epoch(r, e) == lr_for_epoch(f, e), (kw, e)
+
+
 def test_cosine_schedule():
     assert abs(cosine_annealing(0, 50) - 1.0) < 1e-12
     assert abs(cosine_annealing(25, 50) - 0.5) < 1e-12
